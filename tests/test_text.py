@@ -1,0 +1,116 @@
+# -*- coding: utf-8 -*-
+"""Golden tests for the Korean text frontend.
+
+The normalize goldens correspond to the reference's inline harness sentences
+(reference text/korean.py:316-322), worked through the reference algorithm by
+hand.
+"""
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.text import (
+    TextCodec, text_to_sequence, sequence_to_text, jamo_to_korean, PAD, EOS)
+from tacotron_wavenet_vocoder_korean_tpu.text import hangul as H
+from tacotron_wavenet_vocoder_korean_tpu.text import korean as K
+from tacotron_wavenet_vocoder_korean_tpu.text.symbols import (
+    KOREAN_SYMBOLS, ENGLISH_SYMBOLS)
+
+
+def test_symbol_table_shape():
+    # 2 specials + 19 leads + 21 vowels + 27 tails + 10 punct + 1 space = 80
+    assert len(KOREAN_SYMBOLS) == 80
+    assert KOREAN_SYMBOLS[0] == PAD and KOREAN_SYMBOLS[1] == EOS
+    assert len(set(KOREAN_SYMBOLS)) == 80
+    assert len(set(ENGLISH_SYMBOLS)) == len(ENGLISH_SYMBOLS)
+
+
+def test_hangul_roundtrip():
+    text = "존경하는 국민 여러분"
+    jamo = H.h2j(text)
+    assert jamo != text
+    assert H.jamo_to_korean(jamo) == text
+
+
+def test_hangul_decompose_known():
+    # '존' = ㅈ + ㅗ + ㄴ as conjoining jamo
+    assert H.decompose_syllable("존") == "존"
+    assert H.compose_syllable("ᄌ", "ᅩ", "ᆫ") == "존"
+
+
+@pytest.mark.parametrize("text,expected", [
+    ("JTBC는 JTBCs를 DY는 A가 Absolute",
+     "제이티비씨는 JTBCs를 디와이는 에이가 Absolute"),
+    ("오늘(13일) 3,600마리 강아지가",
+     "오늘 세천여섯백마리 강아지가"),
+    ("60.3%", "육십쩜 삼퍼센트"),
+    ('"저돌"(猪突) 입니다.', "'저돌' 입니다."),
+    ("지금은 -12.35%였고 종류는 5가지와 19가지, 그리고 55가지였다",
+     "지금은 마이너스 십이쩜 삼오퍼센트였고 종류는 다섯가지와 열아홉가지, 그리고 쉰다섯가지였다"),
+    ("JTBC는 TH와 K 양이 2017년 9월 12일 오후 12시에 24살이 된다",
+     "제이티비씨는 티에이치와 케이 양이 이천일십칠년 구월 십이일 오후 열두시에 스물네살이 된다"),
+])
+def test_normalize_golden(text, expected):
+    assert K.normalize(text) == expected
+
+
+def test_normalize_quote_splits_sentences():
+    out = K.normalize('비대위원장이 “난 간다. 너도 간다” 했다')
+    assert out == "비대위원장이 '난 간다.' '너도 간다' 했다"
+
+
+def test_number_to_korean_basic():
+    assert K.number_to_korean("0") == "영"
+    assert K.number_to_korean("1") == "일"
+    assert K.number_to_korean("10") == "십"      # leading 일 stripped
+    assert K.number_to_korean("100") == "백"
+    assert K.number_to_korean("36000") == "삼만육천"
+    assert K.number_to_korean("+5") == "플러스 오"
+
+
+def test_number_to_korean_counters():
+    assert K.number_to_korean("1", "개", is_count=True) == "한개"
+    assert K.number_to_korean("2", "명", is_count=True) == "두명"
+    assert K.number_to_korean("20", "살", is_count=True) == "스물살"
+
+
+def test_tokenize_appends_eos():
+    tokens = K.tokenize("안녕")
+    assert tokens[-1] == EOS
+    ids = K.tokenize("안녕", as_id=True)
+    assert ids[-1] == 1
+
+
+def test_text_to_sequence_roundtrip():
+    seq = text_to_sequence("존경하는 국민 여러분")
+    assert seq.dtype == np.int32
+    assert seq[-1] == 1  # EOS
+    assert 0 not in seq  # no PAD in encoded text
+    text = sequence_to_text(seq, skip_eos_and_pad=True, combine_jamo=True)
+    assert text == "존경하는 국민 여러분"
+
+
+def test_codec_english():
+    codec = TextCodec("english_cleaners")
+    seq = codec.encode("Hello World 12!")
+    out = codec.decode(seq, skip_eos_and_pad=True)
+    assert out == "hello world twelve!"
+
+
+def test_codec_eos_single():
+    codec = TextCodec("korean_cleaners")
+    seq = codec.encode("안녕하세요")
+    assert list(seq).count(1) == 1  # exactly one EOS
+
+
+def test_english_numbers():
+    from tacotron_wavenet_vocoder_korean_tpu.text import english as E
+    assert E.number_to_words(0) == "zero"
+    assert E.number_to_words(21) == "twenty-one"
+    assert E.number_to_words(105) == "one hundred five"
+    assert E.number_to_words(1234567) == \
+        "one million two hundred thirty-four thousand five hundred sixty-seven"
+    assert E.ordinal_to_words(3) == "third"
+    assert E.ordinal_to_words(22) == "twenty-second"
+    assert E.normalize_numbers("in 1984 there") == "in nineteen eighty-four there"
+    assert E.normalize_numbers("$1.50") == "one dollar, fifty cents"
+    assert E.normalize_numbers("2003") == "two thousand three"
