@@ -1,0 +1,280 @@
+"""Host-side batchers with TPU-friendly static shapes.
+
+Replaces the reference's feeder-thread + tf.FIFOQueue machinery
+(reference: datasets/datafeeder_tacotron.py:75-314,
+datasets/datafeeder_wavenet.py:50-167) with plain-numpy iterators:
+
+  * length-sorted batch grouping + shuffle (datafeeder_tacotron.py:215-218)
+  * per-dataset sampling weights and the ``initial_phase_step`` curriculum
+    (datafeeder_tacotron.py:205-213)
+  * reduction-factor rounding of target lengths (datafeeder_tacotron.py:297-314)
+  * WaveNet random hop-aligned crops (datafeeder_wavenet.py:153-156)
+
+plus shape bucketing (round padded lengths up to coarse multiples) so XLA sees
+a handful of shapes instead of one per batch, and a double-buffered
+device-prefetch wrapper in feeder.py.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import Config
+
+PAD_VALUE = 0
+
+
+def round_up(x: int, multiple: int) -> int:
+    r = x % multiple
+    return x if r == 0 else x + multiple - r
+
+
+@dataclass
+class TacotronBatch:
+    inputs: np.ndarray          # [B, T_in] int32
+    input_lengths: np.ndarray   # [B] int32
+    loss_coeff: np.ndarray      # [B] float32
+    mel_targets: np.ndarray     # [B, T_out, num_mels] float32
+    linear_targets: np.ndarray  # [B, T_out, num_freq] float32
+    speaker_id: np.ndarray      # [B] int32 (zeros when single-speaker)
+
+
+def scan_npz_dir(data_dir: str, cfg: Config,
+                 apply_filter: bool = True) -> List[str]:
+    """List usable npz paths (reference datafeeder_tacotron.py:28-71)."""
+    paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not apply_filter:
+        return paths
+    t = cfg.tacotron
+    min_n_frame = t.reduction_factor * t.min_iters
+    max_n_frame = t.reduction_factor * t.max_iters - t.reduction_factor
+    keep = []
+    for p in paths:
+        try:
+            with np.load(p) as d:
+                n_frame = d["linear"].shape[0]
+                n_tokens = len(d["tokens"])
+        except Exception:
+            continue
+        if min_n_frame <= n_frame <= max_n_frame and n_tokens >= t.min_tokens:
+            keep.append(p)
+    return keep
+
+
+class TacotronBatcher:
+    """Epoch-style iterator over length-bucketed padded batches.
+
+    data_dirs maps to speaker ids by position (reference
+    datafeeder_tacotron.py:100-101).
+    """
+
+    def __init__(self, data_dirs: Sequence[str], cfg: Config,
+                 data_type: str = "train", batch_size: Optional[int] = None,
+                 batches_per_group: int = 32, apply_filter: bool = True,
+                 token_bucket: int = 16, frame_bucket_iters: int = 10,
+                 seed: Optional[int] = None):
+        assert data_type in ("train", "test")
+        self.cfg = cfg
+        self.data_type = data_type
+        self.batch_size = batch_size or cfg.tacotron.batch_size
+        self.batches_per_group = batches_per_group
+        self.token_bucket = token_bucket
+        # frames round up to multiples of r * frame_bucket_iters
+        self.frame_bucket = cfg.tacotron.reduction_factor * frame_bucket_iters
+        self.rng = np.random.RandomState(
+            cfg.train.random_seed if seed is None else seed)
+        self.step = 0
+
+        self.data_dirs = list(data_dirs)
+        self.dir_to_id = {d: i for i, d in enumerate(self.data_dirs)}
+        self.is_multi_speaker = len(self.data_dirs) > 1
+
+        self.path_dict: Dict[str, List[str]] = {}
+        n_test = self.batch_size
+        for d in self.data_dirs:
+            paths = scan_npz_dir(d, cfg, apply_filter)
+            if not paths:
+                raise ValueError(f"no usable npz files in {d}")
+            self.rng.shuffle(paths)
+            if data_type == "train":
+                split = paths[:-n_test] if len(paths) > n_test else paths
+            else:
+                split = paths[-n_test:]
+            self.path_dict[d] = split
+
+        # Per-dataset sampling weights (reference datafeeder_tacotron.py:103-112).
+        t = cfg.tacotron
+        weights = {d: 1.0 for d in self.data_dirs}
+        if t.main_data_greedy_factor > 0:
+            for main in t.main_data:
+                for d in self.data_dirs:
+                    if main and main in d:
+                        weights[d] += t.main_data_greedy_factor
+        z = sum(weights.values())
+        self.data_ratio = {d: w / z for d, w in weights.items()}
+
+        self._offset = defaultdict(int)
+
+    def _next_example(self, data_dir: str):
+        paths = self.path_dict[data_dir]
+        if self._offset[data_dir] >= len(paths):
+            self._offset[data_dir] = 0
+            if self.data_type == "train":
+                self.rng.shuffle(paths)
+        p = paths[self._offset[data_dir]]
+        self._offset[data_dir] += 1
+        with np.load(p) as d:
+            tokens = np.asarray(d["tokens"], dtype=np.int32)
+            mel = np.asarray(d["mel"], dtype=np.float32)
+            linear = np.asarray(d["linear"], dtype=np.float32)
+            coeff = float(d["loss_coeff"]) if "loss_coeff" in d else 1.0
+        return (tokens, coeff, mel, linear, self.dir_to_id[data_dir],
+                linear.shape[0])
+
+    def _group(self) -> List[list]:
+        n = self.batch_size
+        t = self.cfg.tacotron
+        examples = []
+        for d in self.data_dirs:
+            if self.step < t.initial_phase_step:
+                count = n * self.batches_per_group // len(self.data_dirs)
+            else:
+                count = int(n * self.batches_per_group * self.data_ratio[d])
+            examples.extend(self._next_example(d) for _ in range(count))
+        examples.sort(key=lambda x: x[-1])  # by target length
+        batches = [examples[i:i + n] for i in range(0, len(examples), n)
+                   if len(examples[i:i + n]) == n]
+        self.rng.shuffle(batches)
+        return batches
+
+    def _prepare(self, batch: list) -> TacotronBatch:
+        r = self.cfg.tacotron.reduction_factor
+        if self.data_type == "train":
+            self.rng.shuffle(batch)
+        max_tokens = round_up(max(len(x[0]) for x in batch), self.token_bucket)
+        # +1 then round up to a bucketed multiple of r
+        # (reference datafeeder_tacotron.py:297-300).
+        max_frames = round_up(max(x[-1] for x in batch) + 1, r)
+        max_frames = round_up(max_frames, self.frame_bucket)
+
+        inputs = np.full((len(batch), max_tokens), PAD_VALUE, np.int32)
+        lengths = np.zeros(len(batch), np.int32)
+        coeffs = np.zeros(len(batch), np.float32)
+        mels = np.zeros((len(batch), max_frames, batch[0][2].shape[1]), np.float32)
+        linears = np.zeros((len(batch), max_frames, batch[0][3].shape[1]), np.float32)
+        speakers = np.zeros(len(batch), np.int32)
+        for i, (tokens, coeff, mel, linear, sid, n_frame) in enumerate(batch):
+            inputs[i, :len(tokens)] = tokens
+            lengths[i] = len(tokens)
+            coeffs[i] = coeff
+            mels[i, :n_frame] = mel
+            linears[i, :n_frame] = linear
+            speakers[i] = sid
+        return TacotronBatch(inputs, lengths, coeffs, mels, linears, speakers)
+
+    def __iter__(self) -> Iterator[TacotronBatch]:
+        if self.data_type == "test":
+            # Static batches: one fixed example set, repeated
+            # (reference datafeeder_tacotron.py:162-174).
+            examples = []
+            while len(examples) < self.batch_size:
+                for d in self.data_dirs:
+                    examples.append(self._next_example(d))
+                    if len(examples) >= self.batch_size:
+                        break
+            batch = self._prepare(examples)
+            while True:
+                yield batch
+        while True:
+            for batch in self._group():
+                self.step += 1
+                yield self._prepare(batch)
+
+
+@dataclass
+class WaveNetBatch:
+    input_wav: np.ndarray        # [B, sample_size, 1] float32
+    local_condition: np.ndarray  # [B, sample_size // hop, num_mels] float32
+    speaker_id: np.ndarray       # [B] int32
+
+
+class WaveNetBatcher:
+    """Random hop-aligned crops of (audio, mel) windows
+    (reference datafeeder_wavenet.py:50-159)."""
+
+    def __init__(self, data_dirs: Sequence[str], cfg: Config,
+                 batch_size: Optional[int] = None, gc_enable: bool = False,
+                 seed: Optional[int] = None, batches_per_group: int = 32):
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.wavenet.batch_size
+        self.gc_enable = gc_enable
+        self.batches_per_group = batches_per_group
+        self.hop_size = cfg.audio.hop_size
+        self.sample_size = (cfg.wavenet.sample_size
+                            // self.hop_size) * self.hop_size
+        self.max_frames = self.sample_size // self.hop_size
+        self.rng = np.random.RandomState(
+            cfg.train.random_seed if seed is None else seed)
+
+        self.data_dirs = list(data_dirs)
+        self.dir_to_id = {d: i for i, d in enumerate(self.data_dirs)}
+        min_length = max(self.sample_size, cfg.wavenet.receptive_field)
+        self.path_dict: Dict[str, List[str]] = {}
+        for d in self.data_dirs:
+            paths = []
+            train_txt = os.path.join(d, "train.txt")
+            if os.path.exists(train_txt):
+                with open(train_txt, encoding="utf-8") as f:
+                    for line in f:
+                        parts = line.strip().split("|")
+                        if len(parts) >= 4 and int(parts[1]) > min_length:
+                            paths.append(os.path.join(d, parts[0]))
+            else:
+                for p in sorted(glob.glob(os.path.join(d, "*.npz"))):
+                    with np.load(p) as npz:
+                        if int(npz["time_steps"]) > min_length:
+                            paths.append(p)
+            if not paths:
+                raise ValueError(
+                    f"no npz with time_steps > {min_length} in {d}")
+            self.path_dict[d] = paths
+        self._offset = defaultdict(int)
+
+    def _next_example(self, data_dir: str):
+        paths = self.path_dict[data_dir]
+        if self._offset[data_dir] >= len(paths):
+            self._offset[data_dir] = 0
+            self.rng.shuffle(paths)
+        p = paths[self._offset[data_dir]]
+        self._offset[data_dir] += 1
+        with np.load(p) as d:
+            audio = np.asarray(d["audio"], dtype=np.float32).reshape(-1, 1)
+            mel = np.asarray(d["mel"], dtype=np.float32)
+        assert len(audio) % len(mel) == 0
+        assert len(audio) // len(mel) == self.hop_size
+        s = self.rng.randint(0, len(mel) - self.max_frames + 1)
+        ts = s * self.hop_size
+        return (audio[ts:ts + self.sample_size],
+                mel[s:s + self.max_frames],
+                self.dir_to_id[data_dir])
+
+    def __iter__(self) -> Iterator[WaveNetBatch]:
+        n = self.batch_size
+        while True:
+            examples = []
+            for d in self.data_dirs:
+                count = n * self.batches_per_group // len(self.data_dirs)
+                examples.extend(self._next_example(d) for _ in range(count))
+            self.rng.shuffle(examples)
+            for i in range(0, len(examples) - n + 1, n):
+                batch = examples[i:i + n]
+                yield WaveNetBatch(
+                    input_wav=np.stack([b[0] for b in batch]),
+                    local_condition=np.stack([b[1] for b in batch]),
+                    speaker_id=np.asarray([b[2] for b in batch], np.int32),
+                )

@@ -6,7 +6,7 @@ instead of parallel numpy/TF paths.
 from .stft import (
     stft, istft, preemphasis, inv_preemphasis, amp_to_db, db_to_amp,
     normalize, denormalize, linear_spectrogram, mel_spectrogram,
-    mel_to_linear, mel_basis, hann_window,
+    mel_to_linear, mel_basis, hann_window, extract_features,
 )
 from .griffin_lim import griffin_lim, inv_linear_spectrogram, inv_mel_spectrogram
 from .mulaw import (
@@ -21,7 +21,7 @@ __all__ = [
     "stft", "istft", "preemphasis", "inv_preemphasis", "amp_to_db",
     "db_to_amp", "normalize", "denormalize", "linear_spectrogram",
     "mel_spectrogram", "mel_to_linear", "mel_basis", "hann_window",
-    "griffin_lim", "inv_linear_spectrogram", "inv_mel_spectrogram",
+    "extract_features", "griffin_lim", "inv_linear_spectrogram", "inv_mel_spectrogram",
     "mulaw", "inv_mulaw", "mulaw_quantize", "inv_mulaw_quantize",
     "mulaw_encode", "mulaw_decode",
     "load_wav", "save_wav", "rescale", "trim_silence", "start_and_end_indices",

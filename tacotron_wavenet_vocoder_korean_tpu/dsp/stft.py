@@ -242,6 +242,71 @@ def mel_spectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return normalize(S, cfg)
 
 
+# ---------------------------------------------------------------------------
+# Bucketed batch feature extraction (fast host/device preprocessing)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _features_from_padded(y_padded: jnp.ndarray, cfg: AudioConfig):
+    """Padded signal (already preemphasized + reflect-padded + zero-extended)
+    -> (mel, linear) over ALL frames of the padded length.
+
+    Called only through :func:`extract_features`, which buckets padded lengths
+    so XLA compiles once per bucket instead of once per utterance.
+    """
+    frames = _frame(y_padded, cfg.fft_size, cfg.hop_size)
+    win = jnp.asarray(hann_window(cfg.win_size, cfg.fft_size))
+    mag = jnp.abs(jnp.fft.rfft(frames * win, axis=-1)).T  # [num_freq, F]
+    lin = normalize(amp_to_db(mag, cfg) - cfg.ref_level_db, cfg)
+    basis = jnp.asarray(mel_basis(cfg.sample_rate, cfg.fft_size, cfg.num_mels))
+    mel = normalize(amp_to_db(basis @ mag, cfg) - cfg.ref_level_db, cfg)
+    return mel, lin
+
+
+def extract_features(wav: np.ndarray, cfg: AudioConfig,
+                     frame_bucket: int = 128):
+    """wav -> (mel, linear), numerically identical to
+    :func:`mel_spectrogram`/:func:`linear_spectrogram` but with shape
+    bucketing: the signal is zero-extended past its reflect padding to the
+    next multiple of ``frame_bucket`` frames, so repeated calls reuse a
+    handful of compiled programs.  Every *kept* frame reads only real
+    (reflect-padded) samples, so the bucketing is exact.
+    """
+    wav = np.asarray(wav, dtype=np.float32)
+    if cfg.preemphasize:
+        y = np.empty_like(wav)
+        y[0] = wav[0]
+        y[1:] = wav[1:] - cfg.preemphasis * wav[:-1]
+    else:
+        y = wav
+    pad = cfg.fft_size // 2
+    y = np.pad(y, (pad, pad), mode="reflect")
+
+    true_frames = 1 + len(wav) // cfg.hop_size
+    bucket_frames = ((true_frames + frame_bucket - 1)
+                     // frame_bucket) * frame_bucket
+    bucket_len = cfg.fft_size + cfg.hop_size * (bucket_frames - 1)
+    y = np.pad(y, (0, max(0, bucket_len - len(y))))[:bucket_len]
+
+    # Concurrent first-compilation of the same jitted program from several
+    # threads deadlocks on this jax build — serialize the compile (once per
+    # (cfg, bucket)), then run lock-free.
+    key = (cfg, bucket_frames)
+    if key not in _COMPILED_BUCKETS:
+        with _COMPILE_LOCK:
+            if key not in _COMPILED_BUCKETS:
+                _features_from_padded(jnp.asarray(y), cfg)[0].block_until_ready()
+                _COMPILED_BUCKETS.add(key)
+
+    mel, lin = _features_from_padded(jnp.asarray(y), cfg)
+    return (np.asarray(mel[:, :true_frames]),
+            np.asarray(lin[:, :true_frames]))
+
+
+_COMPILED_BUCKETS: set = set()
+_COMPILE_LOCK = __import__("threading").Lock()
+
+
 @functools.lru_cache(maxsize=8)
 def inv_mel_basis(sample_rate: int, fft_size: int, num_mels: int) -> np.ndarray:
     return np.linalg.pinv(

@@ -1,0 +1,126 @@
+"""Data pipeline tests: preprocessing on the bundled moon corpus + batchers."""
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.config import (
+    Config, TacotronConfig, WaveNetConfig, overlay)
+from tacotron_wavenet_vocoder_korean_tpu import data as D
+
+MOON_DIR = "/root/reference/datasets/moon"
+HAVE_MOON = os.path.exists(os.path.join(MOON_DIR, "moon-recognition-All.json"))
+
+
+@pytest.fixture(scope="module")
+def moon_subset(tmp_path_factory):
+    """Preprocess a 12-utterance subset of the bundled moon corpus."""
+    if not HAVE_MOON:
+        pytest.skip("bundled moon corpus not present")
+    root = tmp_path_factory.mktemp("moon")
+    in_dir = root / "in"
+    (in_dir / "audio").mkdir(parents=True)
+    with open(os.path.join(MOON_DIR, "moon-recognition-All.json"),
+              encoding="utf-8") as f:
+        full = json.load(f)
+    subset = dict(list(full.items())[:12])
+    for key in subset:
+        name = key.strip().split("/")[-1]
+        shutil.copy(os.path.join(MOON_DIR, "audio", name),
+                    in_dir / "audio" / name)
+    with open(in_dir / "moon-recognition-All.json", "w", encoding="utf-8") as f:
+        json.dump(subset, f, ensure_ascii=False)
+
+    out_dir = root / "data"
+    cfg = Config()
+    examples = D.preprocess_corpus(cfg, "moon", str(in_dir), str(out_dir),
+                                   num_workers=1)
+    return cfg, str(out_dir), examples
+
+
+def test_preprocess_invariants(moon_subset):
+    cfg, out_dir, examples = moon_subset
+    assert len(examples) >= 8  # a few may be dropped by trim/length rules
+    assert os.path.exists(os.path.join(out_dir, "train.txt"))
+    for fname in os.listdir(out_dir):
+        if not fname.endswith(".npz"):
+            continue
+        with np.load(os.path.join(out_dir, fname)) as d:
+            for key in ("audio", "mel", "linear", "time_steps", "mel_frames",
+                        "text", "tokens", "loss_coeff"):
+                assert key in d, f"{key} missing from {fname}"
+            hop = cfg.audio.hop_size
+            # the core upsampling invariant (reference datasets/moon.py:140-146)
+            assert len(d["audio"]) == int(d["mel_frames"]) * hop
+            assert d["mel"].shape == (int(d["mel_frames"]), cfg.audio.num_mels)
+            assert d["linear"].shape[1] == cfg.audio.num_freq
+            assert d["tokens"][-1] == 1  # EOS
+
+
+def test_tacotron_batcher(moon_subset):
+    cfg, out_dir, _ = moon_subset
+    # relax length filters: bundled clips are short
+    cfg2 = overlay(cfg, tacotron={
+        "min_iters": 1, "min_tokens": 5, "batch_size": 2})
+    b = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=2,
+                          batches_per_group=2)
+    it = iter(b)
+    batch = next(it)
+    r = cfg2.tacotron.reduction_factor
+    assert batch.inputs.shape[0] == 2
+    assert batch.mel_targets.shape[2] == cfg2.audio.num_mels
+    assert batch.linear_targets.shape[2] == cfg2.audio.num_freq
+    assert batch.mel_targets.shape[1] % r == 0
+    assert batch.inputs.shape[1] % 16 == 0  # token bucket
+    assert batch.input_lengths.max() <= batch.inputs.shape[1]
+    # PAD rows after length are zero
+    i = int(np.argmin(batch.input_lengths))
+    assert np.all(batch.inputs[i, batch.input_lengths[i]:] == 0)
+
+    # shape bucketing: a handful of distinct shapes across many batches
+    shapes = {next(it).mel_targets.shape for _ in range(6)}
+    assert len(shapes) <= 4
+
+
+def test_tacotron_batcher_test_mode(moon_subset):
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, tacotron={"min_iters": 1, "min_tokens": 5})
+    b = D.TacotronBatcher([out_dir], cfg2, "test", batch_size=2)
+    it = iter(b)
+    b1, b2 = next(it), next(it)
+    assert np.array_equal(b1.inputs, b2.inputs)  # static test batches
+
+
+def test_wavenet_batcher(moon_subset):
+    cfg, out_dir, _ = moon_subset
+    # bundled clips are ~2s; shrink sample_size so crops fit
+    cfg2 = overlay(cfg, wavenet={
+        "sample_size": 9000, "dilations": [1, 2, 4, 8, 16, 32, 64, 128] * 2,
+        "initial_filter_width": 32})
+    b = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, gc_enable=True)
+    batch = next(iter(b))
+    assert batch.input_wav.shape == (2, 9000, 1)
+    assert batch.local_condition.shape == (2, 9000 // cfg2.audio.hop_size,
+                                           cfg2.audio.num_mels)
+    assert batch.speaker_id.shape == (2,)
+    assert np.all(batch.speaker_id == 0)
+
+
+def test_device_prefetcher(moon_subset):
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, tacotron={"min_iters": 1, "min_tokens": 5})
+    b = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=2,
+                          batches_per_group=2)
+    import jax.numpy as jnp
+    pf = D.DevicePrefetcher(
+        b, put_fn=lambda x: jnp.asarray(x.inputs))
+    out = next(iter(pf))
+    assert out.shape[0] == 2
+    pf.stop()
+
+
+def test_round_up():
+    assert D.round_up(7, 5) == 10
+    assert D.round_up(10, 5) == 10

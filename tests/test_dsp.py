@@ -132,3 +132,16 @@ def test_scipy_cross_check():
     b = np.log(sp[:, sp.shape[1] // 2] + 1e-8)
     c = np.corrcoef(a, b)[0, 1]
     assert c > 0.95
+
+
+def test_extract_features_exact_vs_reference_path():
+    """Bucketed extractor must match the unbucketed jnp path bit-for-bit-ish."""
+    rng = np.random.RandomState(7)
+    for n in (9001, 24000, 38399, 38400):
+        y = rng.randn(n).astype(np.float32) * 0.3
+        mel_b, lin_b = dsp.extract_features(y, CFG)
+        mel_r = np.asarray(dsp.mel_spectrogram(jnp.asarray(y), CFG))
+        lin_r = np.asarray(dsp.linear_spectrogram(jnp.asarray(y), CFG))
+        assert mel_b.shape == mel_r.shape
+        assert np.abs(mel_b - mel_r).max() < 2e-4
+        assert np.abs(lin_b - lin_r).max() < 2e-4
