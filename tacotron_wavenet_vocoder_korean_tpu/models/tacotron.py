@@ -1,0 +1,342 @@
+"""Tacotron-1 (multi-speaker, DeepVoice2-style conditioning) in flax.
+
+Re-architecture of reference tacotron/tacotron.py:31-317 for TPU/XLA:
+
+  * the TF ``dynamic_decode`` while-loop + 5-deep RNNCell wrapper stack
+    becomes one ``nn.scan`` over a fused DecoderStep; teacher forcing,
+    free-running inference, and manual-attention injection
+    (synthesizer.py:165-198) are all the same compiled program, selected by a
+    static flag / a traced boolean.
+  * alignment history is a scan output (not a TensorArray).
+  * attention memory projection (keys) is computed once, outside the loop.
+  * static shapes everywhere: inference runs a fixed ``max_iters`` scan and
+    trimming happens downstream off the alignments (synthesizer.py:235-256).
+
+Decoder data path per step (tacotron.py:151-177):
+  prev frame -> prenet [256,128] (+speaker concat in 'simple' mode)
+  -> attention GRU(256) with input [prenet, prev_context]
+  -> attention mechanism -> context
+  -> concat(gru_out, context (+speaker)) -> Dense(256)
+  -> 2x residual GRU(256)
+  -> Dense(num_mels * r)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import TacotronConfig, AudioConfig
+from .attention import make_attention
+from .modules import CBHG, Prenet
+
+
+class DecoderCarry(NamedTuple):
+    attn_cell: jnp.ndarray      # attention GRU state      [B, attn_state]
+    context: jnp.ndarray        # attention context        [B, enc_out]
+    attn_state: jnp.ndarray     # mechanism state          [B, T_in] (or mixtures)
+    dec_cells: Tuple[jnp.ndarray, ...]  # residual GRU states [B, dec_rnn]
+    prev_frame: jnp.ndarray     # last emitted mel frame   [B, num_mels]
+
+
+class Decoder(nn.Module):
+    """Scan wrapper producing [B, T_dec*r, num_mels] + alignments."""
+
+    cfg: TacotronConfig
+    num_mels: int
+
+    @nn.compact
+    def __call__(self, keys, values, mask, max_steps: int,
+                 teacher_frames: Optional[jnp.ndarray],
+                 manual_alignments: Optional[jnp.ndarray],
+                 is_manual_attention: Optional[jnp.ndarray],
+                 speaker_embed: Optional[jnp.ndarray],
+                 init_states: Optional[Dict[str, Any]],
+                 free_run: bool, deterministic: bool):
+        cfg = self.cfg
+        B = values.shape[0]
+        T_in = values.shape[1]
+
+        mechanism = make_attention(cfg.attention_type, cfg.attention_size)
+        attn_state0 = mechanism.init_state(B, T_in)
+
+        if init_states is not None:  # deepvoice speaker conditioning
+            attn_cell0 = init_states["attention_rnn_init_state"]
+            dec_cells0 = tuple(init_states["decoder_rnn_init_states"])
+        else:
+            attn_cell0 = jnp.zeros((B, cfg.attention_state_size))
+            dec_cells0 = tuple(jnp.zeros((B, cfg.dec_rnn_size))
+                               for _ in range(cfg.dec_layer_num))
+
+        carry0 = DecoderCarry(
+            attn_cell=attn_cell0,
+            context=jnp.zeros((B, values.shape[-1])),
+            attn_state=attn_state0,
+            dec_cells=dec_cells0,
+            prev_frame=jnp.zeros((B, self.num_mels)),  # <GO> frame
+        )
+
+        if teacher_frames is None:
+            teacher_frames = jnp.zeros((max_steps, B, self.num_mels))
+        if manual_alignments is None:
+            manual_alignments = jnp.zeros((max_steps, B, T_in))
+        if is_manual_attention is None:
+            use_manual = jnp.zeros((max_steps, B), bool)
+        else:
+            use_manual = jnp.broadcast_to(
+                jnp.asarray(is_manual_attention)[None, None], (max_steps, B))
+
+        step = _ScanDecoderStep(cfg=cfg, num_mels=self.num_mels,
+                                name="step")
+        scan = nn.scan(
+            lambda module, carry, xs: module(
+                carry, xs, keys, values, mask, speaker_embed,
+                free_run, deterministic),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0, length=max_steps,
+        )
+        _, (frame_blocks, alignments) = scan(
+            step, carry0, (teacher_frames, manual_alignments, use_manual))
+
+        # [T_dec, B, r*M] -> [B, T_dec*r, M]
+        frame_blocks = jnp.transpose(frame_blocks, (1, 0, 2))
+        mel_outputs = frame_blocks.reshape(B, max_steps * cfg.reduction_factor,
+                                           self.num_mels)
+        # [T_dec, B, T_in] -> [B, T_in, T_dec] (reference tacotron.py:223)
+        alignments = jnp.transpose(alignments, (1, 2, 0))
+        return mel_outputs, alignments
+
+
+class _ScanDecoderStep(nn.Module):
+    """DecoderStep reshaped for nn.scan: (carry, xs) -> (carry, ys)."""
+
+    cfg: TacotronConfig
+    num_mels: int
+
+    @nn.compact
+    def __call__(self, carry: DecoderCarry, xs, keys, values, mask,
+                 speaker_embed, free_run, deterministic):
+        cfg = self.cfg
+        teacher_frame, manual_alignment, use_manual = xs
+
+        frame_in = jnp.where(free_run, carry.prev_frame, teacher_frame)
+
+        x = Prenet(cfg.dec_prenet_sizes, cfg.dropout_prob,
+                   name="decoder_prenet")(frame_in, deterministic)
+        if speaker_embed is not None and cfg.model_type == "simple":
+            x = jnp.concatenate([x, speaker_embed], axis=-1)
+
+        gru_in = jnp.concatenate([x, carry.context], axis=-1)
+        attn_cell, gru_out = nn.GRUCell(
+            features=cfg.attention_state_size, name="attention_gru")(
+                carry.attn_cell, gru_in)
+
+        mechanism = make_attention(cfg.attention_type, cfg.attention_size)
+        computed_alignments, next_attn_state = mechanism(
+            gru_out, carry.attn_state, keys, values, mask)
+
+        alignments = jnp.where(use_manual[:, None], manual_alignment,
+                               computed_alignments)
+        context = jnp.einsum("bt,btd->bd", alignments, values)
+
+        cat = [gru_out, context]
+        if speaker_embed is not None and cfg.model_type == "simple":
+            cat.append(speaker_embed)
+        h = nn.Dense(cfg.dec_rnn_size, name="decoder_input_projection")(
+            jnp.concatenate(cat, axis=-1))
+
+        new_dec_cells = []
+        for i in range(cfg.dec_layer_num):
+            cell_state, out = nn.GRUCell(
+                features=cfg.dec_rnn_size, name=f"decoder_gru_{i + 1}")(
+                    carry.dec_cells[i], h)
+            h = h + out
+            new_dec_cells.append(cell_state)
+
+        frames = nn.Dense(cfg.reduction_factor * self.num_mels,
+                          name="frame_projection")(h)
+        new_carry = DecoderCarry(
+            attn_cell=attn_cell,
+            context=context,
+            attn_state=next_attn_state,
+            dec_cells=tuple(new_dec_cells),
+            prev_frame=frames[:, -self.num_mels:],  # last frame of the block
+        )
+        return new_carry, (frames, alignments)
+
+
+class Tacotron(nn.Module):
+    """Full text -> (mel, linear) model (reference tacotron/tacotron.py:31)."""
+
+    cfg: TacotronConfig
+    audio: AudioConfig
+    vocab_size: int = 80
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
+                 speaker_id: Optional[jnp.ndarray] = None,
+                 mel_targets: Optional[jnp.ndarray] = None,
+                 manual_alignments: Optional[jnp.ndarray] = None,
+                 is_manual_attention: Optional[jnp.ndarray] = None,
+                 train: bool = True, free_run: bool = False,
+                 max_iters: Optional[int] = None):
+        cfg = self.cfg
+        B, T_in = inputs.shape
+        deterministic = not train
+
+        # --- Character embedding with frozen-zero PAD row (tacotron.py:51-60)
+        embed_table = self.param(
+            "char_embedding",
+            nn.initializers.truncated_normal(stddev=0.5),
+            (self.vocab_size, cfg.embedding_size))
+        embed_table = embed_table.at[0].set(0.0)
+        char_embedded = embed_table[inputs]               # [B, T_in, E]
+
+        # --- Speaker conditioning (tacotron.py:62-101)
+        speaker_embed = None
+        before_highway = None
+        encoder_rnn_init_state = None
+        decoder_init_states = None
+        if cfg.num_speakers > 1:
+            speaker_table = self.param(
+                "speaker_embedding",
+                nn.initializers.truncated_normal(stddev=0.5),
+                (cfg.num_speakers, cfg.speaker_embedding_size))
+            speaker_embed = speaker_table[speaker_id]     # [B, S]
+            if cfg.model_type == "deepvoice":
+                def deep_dense(dim, name):
+                    return nn.soft_sign(nn.Dense(dim, name=name)(speaker_embed))
+                before_highway = deep_dense(cfg.enc_prenet_sizes[-1],
+                                            "sp_before_highway")
+                encoder_rnn_init_state = deep_dense(cfg.enc_rnn_size * 2,
+                                                    "sp_encoder_rnn_init")
+                decoder_init_states = {
+                    "attention_rnn_init_state": deep_dense(
+                        cfg.attention_state_size, "sp_attention_rnn_init"),
+                    "decoder_rnn_init_states": [
+                        deep_dense(cfg.dec_rnn_size, f"sp_decoder_rnn_init_{i + 1}")
+                        for i in range(cfg.dec_layer_num)],
+                }
+                speaker_embed = None  # deepvoice doesn't use it directly
+            elif cfg.model_type == "simple":
+                pass  # concat-style conditioning handled in decoder/postnet
+            else:
+                raise ValueError(f"bad model_type {cfg.model_type!r} for "
+                                 f"multi-speaker")
+
+        # --- Encoder: prenet + CBHG (tacotron.py:103-115)
+        prenet_out = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob,
+                            name="encoder_prenet")(char_embedded, deterministic)
+        encoder_outputs = CBHG(
+            bank_size=cfg.enc_bank_size,
+            bank_channel_size=cfg.enc_bank_channel_size,
+            maxpool_width=cfg.enc_maxpool_width,
+            highway_depth=cfg.enc_highway_depth,
+            rnn_size=cfg.enc_rnn_size,
+            proj_sizes=cfg.enc_proj_sizes,
+            proj_width=cfg.enc_proj_width,
+            name="encoder_cbhg")(
+                prenet_out, input_lengths, train,
+                before_highway=before_highway,
+                rnn_init_state=encoder_rnn_init_state)
+
+        # Memory mask + zeroed padded values (TF _prepare_memory).
+        mask = jnp.arange(T_in)[None, :] < input_lengths[:, None]
+        values = encoder_outputs * mask[..., None]
+        keys = nn.Dense(cfg.attention_size, use_bias=False,
+                        name="memory_layer")(values)
+
+        # --- Decoder scan (tacotron.py:149-204)
+        r = cfg.reduction_factor
+        num_mels = self.audio.num_mels
+        if mel_targets is not None:
+            max_steps = mel_targets.shape[1] // r
+            # Feed every r-th target frame (helpers.py:55).
+            teacher = jnp.transpose(mel_targets[:, r - 1::r, :], (1, 0, 2))
+        else:
+            max_steps = max_iters or cfg.max_iters
+            teacher = None
+
+        manual_t = None
+        if manual_alignments is not None:
+            # [B, T_dec, T_in] -> time-major [T_dec, B, T_in]
+            manual_t = jnp.transpose(manual_alignments, (1, 0, 2))
+
+        mel_outputs, alignments = Decoder(
+            cfg=cfg, num_mels=num_mels, name="decoder")(
+                keys, values, mask, max_steps, teacher, manual_t,
+                is_manual_attention, speaker_embed, decoder_init_states,
+                free_run, deterministic)
+
+        # --- Post-net CBHG -> linear spectrogram (tacotron.py:206-219)
+        post_out = CBHG(
+            bank_size=cfg.post_bank_size,
+            bank_channel_size=cfg.post_bank_channel_size,
+            maxpool_width=cfg.post_maxpool_width,
+            highway_depth=cfg.post_highway_depth,
+            rnn_size=cfg.post_rnn_size,
+            proj_sizes=cfg.post_proj_sizes,
+            proj_width=cfg.post_proj_width,
+            name="post_cbhg")(mel_outputs, None, train)
+
+        if speaker_embed is not None and cfg.model_type == "simple":
+            tiled = jnp.broadcast_to(
+                speaker_embed[:, None, :],
+                (B, post_out.shape[1], speaker_embed.shape[-1]))
+            post_out = jnp.concatenate([tiled, post_out], axis=-1)
+
+        linear_outputs = nn.Dense(self.audio.num_freq,
+                                  name="linear_projection")(post_out)
+
+        return {
+            "mel_outputs": mel_outputs,
+            "linear_outputs": linear_outputs,
+            "alignments": alignments,
+        }
+
+
+def tacotron_loss(outputs: Dict[str, jnp.ndarray],
+                  mel_targets: jnp.ndarray, linear_targets: jnp.ndarray,
+                  loss_coeff: jnp.ndarray, cfg: TacotronConfig,
+                  audio: AudioConfig) -> Dict[str, jnp.ndarray]:
+    """L1 mel + L1 linear with per-example loss_coeff and optional
+    frequency-prioritized band (reference tacotron.py:258-282)."""
+    mel_l1 = jnp.abs(mel_targets - outputs["mel_outputs"])
+    lin_l1 = jnp.abs(linear_targets - outputs["linear_outputs"])
+    coeff = loss_coeff[:, None, None]
+
+    if cfg.prioritize_loss:
+        upper = int(5000 / (audio.sample_rate * 0.5) * audio.num_freq)
+        lower = int(165 / (audio.sample_rate * 0.5) * audio.num_freq)
+        priority = lin_l1[:, :, lower:upper]
+        loss = (jnp.mean(mel_l1 * coeff)
+                + 0.5 * jnp.mean(lin_l1 * coeff)
+                + 0.5 * jnp.mean(priority * coeff))
+        linear_loss = 0.5 * (jnp.mean(lin_l1) + jnp.mean(priority))
+    else:
+        loss = jnp.mean(mel_l1 * coeff) + jnp.mean(lin_l1 * coeff)
+        linear_loss = jnp.mean(lin_l1)
+
+    mel_loss = jnp.mean(mel_l1)
+    return {
+        "loss": loss,
+        "mel_loss": mel_loss,
+        "linear_loss": linear_loss,
+        "loss_without_coeff": mel_loss + linear_loss,
+    }
+
+
+def learning_rate_schedule(cfg: TacotronConfig,
+                           is_randomly_initialized: bool = False):
+    """Noam-style warmup (reference tacotron.py:294-303)."""
+    warmup = 4000.0 if is_randomly_initialized else 40000.0
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32) + 1.0
+        return (cfg.initial_learning_rate * warmup ** 0.5
+                * jnp.minimum(s * warmup ** -1.5, s ** -0.5))
+
+    return schedule

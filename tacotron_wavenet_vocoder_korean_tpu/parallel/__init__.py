@@ -1,0 +1,10 @@
+"""Mesh/sharding utilities for SPMD training."""
+from .mesh import (
+    DATA_AXIS, MODEL_AXIS, make_mesh, batch_sharding, replicated,
+    shard_batch, replicate,
+)
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding", "replicated",
+    "shard_batch", "replicate",
+]

@@ -1,0 +1,147 @@
+"""Tacotron training task: state, jitted train/eval steps, mesh sharding.
+
+TPU-native counterpart of reference train_tacotron.py:110-253's graph-building
+section: optax Adam + global-norm clip 1.0 + Noam warmup (reference
+tacotron/tacotron.py:285-313), batch-stats threading for the CBHG batchnorms,
+and a free-running eval model sharing the same params (reference
+train_tacotron.py:152-158).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..models.tacotron import Tacotron, tacotron_loss, learning_rate_schedule
+from ..parallel.mesh import Mesh, batch_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class TacotronTask:
+    def __init__(self, cfg: Config, vocab_size: int = 80,
+                 is_randomly_initialized: bool = False):
+        self.cfg = cfg
+        self.model = Tacotron(cfg=cfg.tacotron, audio=cfg.audio,
+                              vocab_size=vocab_size)
+        self.lr_schedule = learning_rate_schedule(
+            cfg.tacotron, is_randomly_initialized)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(self.lr_schedule, b1=cfg.tacotron.adam_beta1,
+                       b2=cfg.tacotron.adam_beta2),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch) -> TrainState:
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(example_batch.inputs),
+            jnp.asarray(example_batch.input_lengths),
+            speaker_id=jnp.asarray(example_batch.speaker_id),
+            mel_targets=jnp.asarray(example_batch.mel_targets),
+            train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = self.model.apply(
+            variables,
+            batch["inputs"], batch["input_lengths"],
+            speaker_id=batch["speaker_id"],
+            mel_targets=batch["mel_targets"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        losses = tacotron_loss(outputs, batch["mel_targets"],
+                               batch["linear_targets"], batch["loss_coeff"],
+                               self.cfg.tacotron, self.cfg.audio)
+        return losses["loss"], (losses, outputs,
+                                mutated.get("batch_stats", batch_stats))
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (loss, (losses, _, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, step_rng)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["learning_rate"] = self.lr_schedule(state.step)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_stats,
+                          new_opt_state), metrics
+
+    def eval_step(self, state: TrainState, batch: Dict[str, jnp.ndarray]
+                  ) -> Dict[str, jnp.ndarray]:
+        """Teacher-free decode against targets (train/test gap metric,
+        reference train_tacotron.py:70-79)."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = self.model.apply(
+            variables, batch["inputs"], batch["input_lengths"],
+            speaker_id=batch["speaker_id"],
+            mel_targets=batch["mel_targets"],
+            train=False, free_run=False)
+        losses = tacotron_loss(outputs, batch["mel_targets"],
+                               batch["linear_targets"], batch["loss_coeff"],
+                               self.cfg.tacotron, self.cfg.audio)
+        losses["alignments"] = outputs["alignments"]
+        losses["linear_outputs"] = outputs["linear_outputs"]
+        losses["mel_outputs"] = outputs["mel_outputs"]
+        return losses
+
+    # ------------------------------------------------------------------
+    def jit_train_step(self, mesh: Optional[Mesh] = None):
+        """jit the train step; with a mesh, shard batch over the data axis and
+        replicate state — XLA inserts the gradient psums over ICI."""
+        if mesh is None:
+            return jax.jit(self.train_step, donate_argnums=0)
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        batch_shardings = {k: data for k in
+                           ("inputs", "input_lengths", "loss_coeff",
+                            "mel_targets", "linear_targets", "speaker_id")}
+        return jax.jit(
+            self.train_step,
+            in_shardings=(None, batch_shardings, repl),
+            out_shardings=(None, None),
+            donate_argnums=0,
+        )
+
+    def jit_eval_step(self):
+        return jax.jit(self.eval_step)
+
+
+def batch_to_dict(batch) -> Dict[str, jnp.ndarray]:
+    """TacotronBatch dataclass -> plain dict of arrays for the jit boundary."""
+    return {
+        "inputs": jnp.asarray(batch.inputs),
+        "input_lengths": jnp.asarray(batch.input_lengths),
+        "loss_coeff": jnp.asarray(batch.loss_coeff),
+        "mel_targets": jnp.asarray(batch.mel_targets),
+        "linear_targets": jnp.asarray(batch.linear_targets),
+        "speaker_id": jnp.asarray(batch.speaker_id),
+    }

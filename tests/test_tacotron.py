@@ -1,0 +1,235 @@
+"""Tacotron model tests: shapes, attention types, speaker modes, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.config import (
+    Config, TacotronConfig, AudioConfig)
+from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import (
+    Tacotron, tacotron_loss, learning_rate_schedule)
+from tacotron_wavenet_vocoder_korean_tpu.models import attention as A
+from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+    TacotronTask, batch_to_dict)
+from tacotron_wavenet_vocoder_korean_tpu.data.loader import TacotronBatch
+from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        enc_bank_size=4, enc_bank_channel_size=32, enc_rnn_size=32,
+        enc_prenet_sizes=(64, 32), enc_proj_sizes=(32, 32),
+        attention_size=32, attention_state_size=32,
+        dec_rnn_size=32, dec_prenet_sizes=(64, 32),
+        post_bank_size=2, post_bank_channel_size=32, post_rnn_size=32,
+        post_proj_sizes=(64, 80), embedding_size=32, max_iters=6)
+    base.update(kw)
+    return TacotronConfig(**base)
+
+
+AUDIO = AudioConfig()
+RNG = jax.random.PRNGKey(0)
+
+
+def make_batch(B=2, T_in=16, T_out=20):
+    rng = np.random.RandomState(0)
+    return {
+        "inputs": jnp.asarray(
+            rng.randint(2, 70, size=(B, T_in)), jnp.int32),
+        "input_lengths": jnp.asarray([T_in, T_in - 5], jnp.int32),
+        "loss_coeff": jnp.ones(B, jnp.float32),
+        "mel_targets": jnp.asarray(
+            rng.randn(B, T_out, 80) * 0.1, jnp.float32),
+        "linear_targets": jnp.asarray(
+            rng.randn(B, T_out, 1025) * 0.1, jnp.float32),
+        "speaker_id": jnp.zeros(B, jnp.int32),
+    }
+
+
+def _forward(cfg, batch, **kw):
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+    out, _ = model.apply(variables, batch["inputs"], batch["input_lengths"],
+                         speaker_id=batch["speaker_id"],
+                         mel_targets=batch["mel_targets"], train=True,
+                         rngs={"dropout": RNG}, mutable=["batch_stats"], **kw)
+    return out
+
+
+@pytest.mark.parametrize("attention_type", [
+    "bah", "bah_norm", "bah_mon", "bah_mon_norm", "bah_mon_norm_hccho",
+    "loc_sen", "gmm", "luong", "luong_scaled"])
+def test_attention_types_forward(attention_type):
+    cfg = tiny_cfg(attention_type=attention_type)
+    batch = make_batch()
+    out = _forward(cfg, batch)
+    assert out["mel_outputs"].shape == (2, 20, 80)
+    assert out["linear_outputs"].shape == (2, 20, 1025)
+    assert out["alignments"].shape == (2, 16, 4)
+    assert np.isfinite(np.asarray(out["mel_outputs"])).all()
+    # padded encoder positions get (near-)zero attention for masked mechanisms
+    a = np.asarray(out["alignments"])
+    assert a[1, 11:, :].max() < 1e-3  # length 11 for 2nd example
+
+
+def test_monotonic_attention_is_monotonic():
+    """Expected attention centroid must move monotonically forward."""
+    cfg = tiny_cfg(attention_type="bah_mon_norm")
+    batch = make_batch(T_out=30)
+    out = _forward(cfg, batch)
+    a = np.asarray(out["alignments"])[0]          # [T_in, T_dec]
+    centroid = (a * np.arange(a.shape[0])[:, None]).sum(0) / (a.sum(0) + 1e-9)
+    assert np.all(np.diff(centroid) > -0.5)       # allows jitter, no jumps back
+
+
+def test_multispeaker_modes():
+    for model_type in ("deepvoice", "simple"):
+        cfg = tiny_cfg(model_type=model_type, num_speakers=2)
+        batch = make_batch()
+        batch["speaker_id"] = jnp.asarray([0, 1], jnp.int32)
+        out = _forward(cfg, batch)
+        assert out["mel_outputs"].shape == (2, 20, 80)
+        # different speakers produce different outputs for identical text
+        batch2 = dict(batch, speaker_id=jnp.asarray([0, 0], jnp.int32),
+                      inputs=jnp.tile(batch["inputs"][:1], (2, 1)),
+                      input_lengths=jnp.tile(batch["input_lengths"][:1], 2))
+        out2 = _forward(cfg, batch2)
+        assert out2["mel_outputs"].shape == (2, 20, 80)
+
+
+def test_manual_attention_injection():
+    cfg = tiny_cfg()
+    batch = make_batch()
+    T_dec = 4
+    manual = np.zeros((2, T_dec, 16), np.float32)
+    manual[:, :, 3] = 1.0  # force all attention onto position 3
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+    out, _ = model.apply(variables, batch["inputs"], batch["input_lengths"],
+                         speaker_id=batch["speaker_id"],
+                         mel_targets=batch["mel_targets"],
+                         manual_alignments=jnp.asarray(manual),
+                         is_manual_attention=jnp.asarray(True),
+                         train=True, rngs={"dropout": RNG},
+                         mutable=["batch_stats"])
+    a = np.asarray(out["alignments"])  # [B, T_in, T_dec]
+    assert np.allclose(a[:, 3, :], 1.0)
+    assert np.allclose(a[:, :3, :], 0.0)
+
+
+def test_zero_pad_embedding_row():
+    cfg = tiny_cfg()
+    batch = make_batch()
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+
+    def loss(params):
+        out, _ = model.apply({**variables, "params": params},
+                             batch["inputs"], batch["input_lengths"],
+                             speaker_id=batch["speaker_id"],
+                             mel_targets=batch["mel_targets"], train=True,
+                             rngs={"dropout": RNG}, mutable=["batch_stats"])
+        return jnp.mean(out["mel_outputs"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    # PAD row is pinned to zero -> no gradient reaches it
+    assert np.allclose(np.asarray(g["char_embedding"])[0], 0.0)
+
+
+def test_lr_schedule():
+    sched = learning_rate_schedule(TacotronConfig())
+    lr_early = float(sched(0))
+    lr_peak = float(sched(40000 - 1))
+    lr_late = float(sched(400000))
+    assert lr_early < lr_peak
+    assert lr_late < lr_peak
+    assert abs(float(sched(39999)) - 1e-3) < 1e-4  # peak ~ initial LR
+
+
+def test_train_step_reduces_loss():
+    cfg = Config(tacotron=tiny_cfg(initial_phase_step=0))
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    raw = make_batch()
+    batch = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.asarray(raw["loss_coeff"]),
+        mel_targets=np.asarray(raw["mel_targets"]),
+        linear_targets=np.asarray(raw["linear_targets"]),
+        speaker_id=np.asarray(raw["speaker_id"]))
+    state = task.init_state(RNG, batch)
+    step = task.jit_train_step()
+    b = batch_to_dict(batch)
+    first = None
+    for i in range(15):
+        state, metrics = step(state, b, RNG)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    assert int(state.step) == 15
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_sharded_train_step():
+    """Data-parallel step over the virtual 8-device CPU mesh."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    cfg = Config(tacotron=tiny_cfg())
+    task = TacotronTask(cfg)
+    raw = make_batch(B=8)
+    raw["input_lengths"] = jnp.asarray([16, 11, 16, 16, 12, 16, 14, 16],
+                                       jnp.int32)
+    batch = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.ones(8, np.float32),
+        mel_targets=np.asarray(jnp.tile(raw["mel_targets"][:1], (8, 1, 1))),
+        linear_targets=np.asarray(jnp.tile(raw["linear_targets"][:1], (8, 1, 1))),
+        speaker_id=np.zeros(8, np.int32))
+    state = task.init_state(RNG, batch)
+    step = task.jit_train_step(mesh)
+    b = shard_batch(mesh, batch_to_dict(batch))
+    state, metrics = step(state, b, RNG)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics2 = step(state, b, RNG)
+    assert float(metrics2["loss"]) != float(metrics["loss"])
+
+
+def test_eval_step_free_decode():
+    cfg = Config(tacotron=tiny_cfg())
+    task = TacotronTask(cfg)
+    raw = make_batch()
+    batch = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.asarray(raw["loss_coeff"]),
+        mel_targets=np.asarray(raw["mel_targets"]),
+        linear_targets=np.asarray(raw["linear_targets"]),
+        speaker_id=np.asarray(raw["speaker_id"]))
+    state = task.init_state(RNG, batch)
+    ev = task.jit_eval_step()
+    out = ev(state, batch_to_dict(batch))
+    assert np.isfinite(float(out["loss"]))
+    assert out["alignments"].shape == (2, 16, 4)
+
+
+def test_monotonic_parallel_math():
+    """Near-degenerate case: p~1 everywhere keeps attention on the previous
+    position (can't move backwards).  Exact p=1 hits TF's 1e-10 clipping
+    (bug-compatible), so use 0.999."""
+    p = jnp.full((1, 5), 0.999)
+    prev = jax.nn.one_hot(jnp.asarray([2]), 5)
+    att = A.monotonic_attention_parallel(p, prev)
+    assert np.allclose(np.asarray(att), np.asarray(prev), atol=2e-3)
+    # p=0 everywhere -> no attention mass anywhere
+    att0 = A.monotonic_attention_parallel(jnp.zeros((1, 5)), prev)
+    assert float(att0.sum()) < 1e-6
