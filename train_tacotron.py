@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Tacotron training driver (reference: train_tacotron.py:110-306).
+
+Example:
+    python train_tacotron.py --data_paths workdir/moon/data --log_dir logs/moon
+Multi-speaker:
+    python train_tacotron.py --data_paths workdir/moon/data,workdir/son/data
+"""
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+from tacotron_wavenet_vocoder_korean_tpu.config import (
+    Config, overlay, debug_string)
+from tacotron_wavenet_vocoder_korean_tpu.data import (
+    TacotronBatcher, DevicePrefetcher)
+from tacotron_wavenet_vocoder_korean_tpu.train import (
+    TacotronTask, CheckpointManager, prepare_run_dir, load_run_config,
+    restore_into_state, batch_to_dict)
+from tacotron_wavenet_vocoder_korean_tpu.parallel import (
+    make_mesh, shard_batch)
+from tacotron_wavenet_vocoder_korean_tpu.utils import (
+    infolog_init, log, ValueWindow, plot)
+from tacotron_wavenet_vocoder_korean_tpu import dsp
+from tacotron_wavenet_vocoder_korean_tpu.text import sequence_to_text
+
+
+class MetricsWriter:
+    """JSONL scalar log (stands in for tf.summary; tail-able + plottable)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "a", encoding="utf-8")
+
+    def write(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()
+                    if np.ndim(v) == 0})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+
+def save_and_plot(log_dir: str, step: int, eval_out, batch, cfg):
+    """Dump alignment PNG + Griffin-Lim wav for the first test example
+    (reference train_tacotron.py:84-107,229-248)."""
+    idx = 0
+    linear = np.asarray(eval_out["linear_outputs"])[idx]
+    align = np.asarray(eval_out["alignments"])[idx]
+    tokens = np.asarray(batch["inputs"])[idx]
+    length = int(np.asarray(batch["input_lengths"])[idx])
+
+    wav = np.asarray(dsp.inv_linear_spectrogram(linear, cfg.audio))
+    wav_path = os.path.join(log_dir, f"step-{step}-audio.wav")
+    dsp.save_wav(wav, wav_path, cfg.audio.sample_rate)
+
+    chars = [sequence_to_text([t]) for t in tokens[:length]]
+    png_path = os.path.join(log_dir, f"step-{step}-align.png")
+    plot.plot_alignment(align[:length], png_path,
+                        info=f"step={step}, loss={float(eval_out['loss']):.5f}",
+                        text=chars)
+    log(f"  saved {wav_path} and {png_path}")
+
+
+def train(args):
+    cfg = Config()
+    if args.load_path:
+        cfg = load_run_config(args.load_path)
+    num_speakers = len(args.data_paths)
+    cfg = overlay(cfg, tacotron={
+        "num_speakers": num_speakers,
+        "batch_size": args.batch_size or cfg.tacotron.batch_size,
+        **({"model_type": args.model_type} if args.model_type else {}),
+    })
+
+    log_dir = args.log_dir or os.path.join(
+        "logs", datetime.now().strftime("tacotron_%Y-%m-%d_%H-%M-%S"))
+    prepare_run_dir(log_dir, cfg)
+    infolog_init(os.path.join(log_dir, "train.log"),
+                 os.path.basename(log_dir), args.slack_url)
+    log(debug_string(cfg))
+
+    mesh = make_mesh() if args.use_mesh else None
+    if mesh is not None:
+        log(f"mesh: {mesh.devices.shape} over {mesh.axis_names}")
+
+    train_batcher = TacotronBatcher(args.data_paths, cfg, "train",
+                                    apply_filter=not args.skip_path_filter)
+    test_batcher = TacotronBatcher(args.data_paths, cfg, "test",
+                                   apply_filter=not args.skip_path_filter)
+
+    task = TacotronTask(cfg, is_randomly_initialized=not args.initialize_path)
+    rng = jax.random.PRNGKey(cfg.train.random_seed)
+
+    first_batch = next(iter(train_batcher))
+    state = task.init_state(rng, first_batch)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    log(f"Initialized Tacotron: {n_params:,} params, "
+        f"{num_speakers} speaker(s), model_type={cfg.tacotron.model_type}")
+
+    state, start_step = restore_into_state(state, args.load_path,
+                                           args.initialize_path)
+    if start_step:
+        log(f"Resuming from step {start_step}")
+    train_batcher.step = start_step
+
+    ckpt = CheckpointManager(log_dir, max_to_keep=cfg.train.max_checkpoints)
+    metrics_writer = MetricsWriter(os.path.join(log_dir, "metrics.jsonl"))
+
+    step_fn = task.jit_train_step(mesh)
+    eval_fn = task.jit_eval_step()
+
+    put = (lambda b: shard_batch(mesh, batch_to_dict(b))) if mesh \
+        else (lambda b: batch_to_dict(b))
+    feeder = DevicePrefetcher(train_batcher, put_fn=put)
+    test_iter = iter(test_batcher)
+
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    step = start_step
+    try:
+        for batch in feeder:
+            t0 = time.time()
+            state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])
+            step = int(state.step)
+            time_window.append(time.time() - t0)
+            loss_window.append(loss)
+
+            if step % 5 == 0:
+                log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
+                    f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
+
+            if loss > cfg.train.loss_explosion_threshold or np.isnan(loss):
+                log(f"Loss exploded to {loss:.5f} at step {step}!", slack=True)
+                raise RuntimeError(f"loss exploded at step {step}")
+
+            if step % cfg.train.summary_interval == 0:
+                metrics_writer.write(step, metrics)
+
+            if step % cfg.train.checkpoint_interval == 0:
+                log(f"Saving checkpoint at step {step}")
+                ckpt.save(step, state)
+
+            if step % cfg.train.test_interval == 0:
+                test_batch = batch_to_dict(next(test_iter))
+                eval_out = eval_fn(state, test_batch)
+                log(f"  eval: loss={float(eval_out['loss']):.5f} "
+                    f"(train-test gap={float(eval_out['loss']) - loss:+.5f})",
+                    slack=True)
+                metrics_writer.write(step, {
+                    "test_loss": eval_out["loss"],
+                    "test_mel_loss": eval_out["mel_loss"],
+                    "test_linear_loss": eval_out["linear_loss"],
+                    "gap_test_train": float(eval_out["loss"]) - loss,
+                })
+                save_and_plot(log_dir, step, eval_out, test_batch, cfg)
+
+            if args.num_steps and step >= args.num_steps:
+                log(f"Reached num_steps={args.num_steps}; saving and exiting")
+                ckpt.save(step, state)
+                break
+    except KeyboardInterrupt:
+        log("Interrupted; saving checkpoint")
+        ckpt.save(step, state)
+    except Exception:
+        traceback.print_exc()
+        raise
+    finally:
+        feeder.stop()
+        ckpt.close()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_paths", type=lambda s: s.split(","), required=True)
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--load_path", default=None,
+                   help="resume run dir (keeps global step)")
+    p.add_argument("--initialize_path", default=None,
+                   help="warm-start weights from run dir (step reset to 0)")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--model_type", default=None,
+                   choices=[None, "single", "simple", "deepvoice"])
+    p.add_argument("--skip_path_filter", action="store_true")
+    p.add_argument("--use_mesh", action="store_true",
+                   help="shard the batch over all visible devices")
+    p.add_argument("--slack_url", default=None)
+    args = p.parse_args()
+    if args.load_path and args.initialize_path:
+        p.error("--load_path and --initialize_path are mutually exclusive")
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
