@@ -1,0 +1,170 @@
+"""WaveNet tests: shapes, loss, incremental==parallel equivalence, sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.config import WaveNetConfig
+from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
+    WaveNet, Upsampler, wavenet_loss, incremental_generate,
+    teacher_forced_incremental, init_gen_state)
+from tacotron_wavenet_vocoder_korean_tpu.models import mixture as M
+
+RNG = jax.random.PRNGKey(0)
+
+# tiny stack: rf = 1*sum(d)+1 + (ifw-1) = (1+2+4+1+2+4)+1+7 = 22
+TINY = WaveNetConfig(
+    dilations=(1, 2, 4, 1, 2, 4), residual_channels=8, dilation_channels=8,
+    skip_channels=16, out_channels=12, initial_filter_width=8,
+    upsample_factor=(2, 5), sample_size=100, batch_size=2)
+HOP = 10  # prod(upsample_factor)
+
+
+def make_inputs(B=2, frames=12):
+    rng = np.random.RandomState(0)
+    T = frames * HOP
+    audio = jnp.asarray(rng.uniform(-0.9, 0.9, (B, T, 1)), jnp.float32)
+    mel = jnp.asarray(rng.randn(B, frames, 80), jnp.float32)
+    return audio, mel
+
+
+def test_receptive_field_tiny():
+    assert TINY.receptive_field == 22
+
+
+def test_upsampler_shape():
+    _, mel = make_inputs()
+    up = Upsampler(TINY)
+    vars_ = up.init(RNG, mel)
+    lc = up.apply(vars_, mel)
+    assert lc.shape == (2, 12 * HOP, 80)
+
+
+def test_training_forward_and_loss():
+    audio, mel = make_inputs()
+    model = WaveNet(TINY)
+    vars_ = model.init(RNG, audio, mel)
+    out = model.apply(vars_, audio, mel)
+    T = audio.shape[1]
+    assert out["raw_output"].shape == (2, T - TINY.receptive_field, 12)
+    assert out["target"].shape == (2, T - TINY.receptive_field, 1)
+    losses = wavenet_loss(TINY, out)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_training_gradient_flows():
+    audio, mel = make_inputs()
+    model = WaveNet(TINY)
+    vars_ = model.init(RNG, audio, mel)
+
+    def loss(params):
+        out = model.apply({"params": params}, audio, mel)
+        return wavenet_loss(TINY, out)["loss"]
+
+    g = jax.grad(loss)(vars_["params"])
+    norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9
+
+
+def test_incremental_equals_parallel():
+    """The ring-buffer scan must reproduce the parallel training graph's
+    logits exactly once the buffers are warm (the Fast WaveNet invariant the
+    reference never tests, SURVEY.md §4)."""
+    audio, mel = make_inputs()
+    model = WaveNet(TINY)
+    vars_ = model.init(RNG, audio, mel)
+    params = vars_["params"]
+    out = model.apply(vars_, audio, mel)
+    parallel_logits = np.asarray(out["raw_output"])    # [B, T-rf, C]
+
+    lc_full = np.asarray(out["local_condition"])       # [B, T, mels]
+    x = audio[:, :-1, :]
+    lc = jnp.asarray(lc_full[:, :-1, :])
+    inc_logits = np.asarray(
+        teacher_forced_incremental(TINY, params, x, lc))  # [B, T-1, C]
+
+    rf = TINY.receptive_field
+    # incremental step t consumed inputs [0..t]; aligns with parallel j at
+    # t = rf-1+j
+    inc_aligned = inc_logits[:, rf - 1:, :]
+    n = parallel_logits.shape[1]
+    err = np.abs(inc_aligned[:, :n] - parallel_logits).max()
+    assert err < 2e-4, f"incremental/parallel mismatch: {err}"
+
+
+def test_incremental_generate_shapes_and_range():
+    _, mel = make_inputs(frames=6)
+    model = WaveNet(TINY)
+    audio, _ = make_inputs(frames=6)
+    vars_ = model.init(RNG, audio, mel)
+    up = Upsampler(TINY)
+    lc = up.apply({"params": vars_["params"]["upsampler"]}, mel)
+    samples = incremental_generate(TINY, vars_["params"], lc, RNG)
+    assert samples.shape == (2, 60)
+    s = np.asarray(samples)
+    assert np.all(s >= -1) and np.all(s <= 1)
+    assert np.isfinite(s).all()
+    assert s.std() > 0  # not stuck at a constant
+
+
+def test_quantized_mode():
+    cfg = WaveNetConfig(
+        input_type="mulaw-quantize", scalar_input=False,
+        dilations=(1, 2, 4), residual_channels=8, dilation_channels=8,
+        skip_channels=16, quantization_channels=64, out_channels=12,
+        upsample_factor=(2, 5), sample_size=100, batch_size=2)
+    audio, mel = make_inputs()
+    model = WaveNet(cfg)
+    vars_ = model.init(RNG, audio, mel)
+    out = model.apply(vars_, audio, mel)
+    T = audio.shape[1]
+    assert out["raw_output"].shape[-1] == 64
+    assert out["target"].shape == (2, T - cfg.receptive_field)
+    losses = wavenet_loss(cfg, out)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_global_conditioning_changes_output():
+    cfg = WaveNetConfig(
+        dilations=(1, 2), residual_channels=8, dilation_channels=8,
+        skip_channels=16, out_channels=12, initial_filter_width=4,
+        upsample_factor=(2, 5), sample_size=60, batch_size=2, num_speakers=3)
+    audio, mel = make_inputs(frames=8)
+    model = WaveNet(cfg)
+    sid = jnp.asarray([0, 1], jnp.int32)
+    vars_ = model.init(RNG, audio, mel, sid)
+    out0 = model.apply(vars_, audio, mel, jnp.asarray([0, 0], jnp.int32))
+    out1 = model.apply(vars_, audio, mel, jnp.asarray([1, 1], jnp.int32))
+    assert not np.allclose(np.asarray(out0["raw_output"]),
+                           np.asarray(out1["raw_output"]))
+
+
+def test_mixture_loss_and_sampling():
+    rng = np.random.RandomState(0)
+    y_hat = jnp.asarray(rng.randn(4, 50, 30), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (4, 50, 1)), jnp.float32)
+    nll = M.discretized_mix_logistic_loss(y_hat, y, reduce=False)
+    assert nll.shape == (4, 50)
+    assert np.isfinite(np.asarray(nll)).all()
+
+    # peaked mixture: mean 0.5, tiny scale -> samples concentrate there
+    peaked = np.zeros((1, 1000, 30), np.float32)
+    peaked[..., 10:20] = 0.5        # means
+    peaked[..., 20:30] = -7.0       # log scales
+    s = M.sample_from_discretized_mix_logistic(RNG, jnp.asarray(peaked))
+    assert abs(float(s.mean()) - 0.5) < 0.01
+
+    # edge targets hit the edge-case branches without inf/nan
+    y_edge = jnp.concatenate([jnp.full((1, 5, 1), -1.0),
+                              jnp.full((1, 5, 1), 1.0)], axis=1)
+    nll_edge = M.discretized_mix_logistic_loss(
+        jnp.asarray(peaked[:, :10]), y_edge, reduce=False)
+    assert np.isfinite(np.asarray(nll_edge)).all()
+
+
+def test_gen_state_shapes():
+    st = init_gen_state(TINY, 3, RNG)
+    assert st.causal_buf.shape == (3, 8, 1)
+    assert len(st.layer_bufs) == 6
+    assert st.layer_bufs[2].shape == (3, 4, 8)

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""WaveNet vocoder training driver (reference: train_vocoder.py:26-194).
+
+Example:
+    python train_vocoder.py --data_dir workdir/moon/data --log_dir logs/wavenet
+Multi-speaker (global conditioning):
+    python train_vocoder.py --data_dir workdir/moon/data,workdir/son/data
+"""
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+from tacotron_wavenet_vocoder_korean_tpu.config import (
+    Config, overlay, debug_string)
+from tacotron_wavenet_vocoder_korean_tpu.data import (
+    WaveNetBatcher, DevicePrefetcher)
+from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+    WaveNetTask, wavenet_batch_to_dict)
+from tacotron_wavenet_vocoder_korean_tpu.train import (
+    CheckpointManager, prepare_run_dir, load_run_config, restore_into_state)
+from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
+from tacotron_wavenet_vocoder_korean_tpu.utils import (
+    infolog_init, log, ValueWindow)
+
+
+def train(args):
+    cfg = Config()
+    if args.load_path:
+        cfg = load_run_config(args.load_path)
+    gc_enable = len(args.data_dir) > 1
+    overrides = {"num_speakers": len(args.data_dir)} if gc_enable else {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.num_steps:
+        overrides["num_steps"] = args.num_steps
+    if args.sample_size:
+        overrides["sample_size"] = args.sample_size
+    if overrides:
+        cfg = overlay(cfg, wavenet=overrides)
+
+    log_dir = args.log_dir or os.path.join("logs", "wavenet")
+    prepare_run_dir(log_dir, cfg)
+    infolog_init(os.path.join(log_dir, "train.log"),
+                 os.path.basename(log_dir), args.slack_url)
+    log(debug_string(cfg))
+
+    mesh = make_mesh() if args.use_mesh else None
+    batcher = WaveNetBatcher(args.data_dir, cfg, gc_enable=gc_enable)
+    task = WaveNetTask(cfg, gc_enable=gc_enable)
+    rng = jax.random.PRNGKey(cfg.train.random_seed)
+
+    first = next(iter(batcher))
+    state = task.init_state(rng, first)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    log(f"Initialized WaveNet: {n_params:,} params, "
+        f"receptive_field={cfg.wavenet.receptive_field} samples, "
+        f"gc={'on' if gc_enable else 'off'}")
+
+    state, start_step = restore_into_state(state, args.load_path,
+                                           args.initialize_path)
+    if start_step:
+        log(f"Resuming from step {start_step}")
+
+    ckpt = CheckpointManager(log_dir, max_to_keep=cfg.train.max_checkpoints)
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    metrics_f = open(metrics_path, "a", encoding="utf-8")
+
+    step_fn = task.jit_train_step(mesh)
+    put = (lambda b: shard_batch(mesh, wavenet_batch_to_dict(b))) if mesh \
+        else (lambda b: wavenet_batch_to_dict(b))
+    feeder = DevicePrefetcher(batcher, put_fn=put)
+
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    step = start_step
+    checkpoint_interval = 1000  # reference train_vocoder.py:50
+    try:
+        for batch in feeder:
+            t0 = time.time()
+            state, metrics = step_fn(state, batch)
+            loss = float(metrics["loss"])
+            step = int(state.step)
+            time_window.append(time.time() - t0)
+            loss_window.append(loss)
+
+            if step % 10 == 0:
+                log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
+                    f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
+
+            if np.isnan(loss):
+                log(f"NaN loss at step {step}; aborting", slack=True)
+                raise RuntimeError("loss is NaN")
+
+            if step % cfg.train.summary_interval == 0:
+                metrics_f.write(json.dumps(
+                    {"step": step,
+                     **{k: float(v) for k, v in metrics.items()
+                        if np.ndim(v) == 0}}) + "\n")
+                metrics_f.flush()
+
+            if step % checkpoint_interval == 0:
+                log(f"Saving checkpoint at step {step}")
+                ckpt.save(step, state)
+
+            if step >= cfg.wavenet.num_steps:
+                log(f"Reached num_steps={cfg.wavenet.num_steps}; done")
+                ckpt.save(step, state)
+                break
+    except KeyboardInterrupt:
+        log("Interrupted; saving checkpoint")
+        ckpt.save(step, state)
+    except Exception:
+        traceback.print_exc()
+        raise
+    finally:
+        feeder.stop()
+        ckpt.close()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", type=lambda s: s.split(","), required=True)
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--load_path", default=None)
+    p.add_argument("--initialize_path", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--sample_size", type=int, default=None)
+    p.add_argument("--use_mesh", action="store_true")
+    p.add_argument("--slack_url", default=None)
+    args = p.parse_args()
+    if args.load_path and args.initialize_path:
+        p.error("--load_path and --initialize_path are mutually exclusive")
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
