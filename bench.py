@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark: WaveNet on-device sampling rate + Tacotron decode RTF.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: WaveNet autoregressive sampling throughput per chip (the
+reference's latency-critical path: 1 sess.run per sample, CPU-pinned,
+reference generate.py:117,202-233 — far below realtime).  vs_baseline is the
+realtime factor (value / 24000 samples-per-second); >1.0 beats realtime.
+Extras report Tacotron mel-decode RTF (north star < 0.05).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
+        WaveNet, Upsampler, incremental_generate)
+
+    cfg = Config()
+    w = cfg.wavenet
+    hop = cfg.audio.hop_size
+    rng = jax.random.PRNGKey(0)
+
+    # Full-size model, random params (throughput is weight-independent).
+    frames = n_frames
+    audio = jnp.zeros((1, frames * hop, 1), jnp.float32)
+    mel = jax.random.normal(rng, (1, frames, cfg.audio.num_mels))
+    model = WaveNet(w)
+    variables = model.init(rng, audio, mel)
+    params = variables["params"]
+
+    @jax.jit
+    def gen(params, mel, rng):
+        lc = Upsampler(w).apply({"params": params["upsampler"]}, mel)
+        return incremental_generate(w, params, lc, rng)
+
+    # NOTE: on the axon tunnel block_until_ready returns early; a host
+    # transfer of a scalar is the only reliable sync.
+    def sync(x):
+        return float(jnp.sum(x))
+
+    out = gen(params, mel, rng)
+    sync(out)                         # compile + settle
+    n_samples = out.shape[1]
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync(gen(params, mel, rng))
+        best = min(best, time.perf_counter() - t0)
+    sps = n_samples / best
+    return {"samples_per_sec": sps, "gen_seconds": best,
+            "n_samples": n_samples,
+            "realtime_factor": sps / cfg.audio.sample_rate}
+
+
+def bench_tacotron(repeats: int = 3) -> dict:
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+    from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import Tacotron
+
+    cfg = Config()
+    model = Tacotron(cfg=cfg.tacotron, audio=cfg.audio)
+    B, T_in, max_iters = 1, 96, 200
+    rng = jax.random.PRNGKey(0)
+    inputs = jnp.ones((B, T_in), jnp.int32)
+    lengths = jnp.full((B,), T_in, jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, inputs, lengths,
+        speaker_id=jnp.zeros((B,), jnp.int32),
+        mel_targets=jnp.zeros((B, 5 * 4, 80)), train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    @jax.jit
+    def decode(variables, inputs, lengths):
+        out = model.apply(variables, inputs, lengths,
+                          speaker_id=jnp.zeros((B,), jnp.int32),
+                          train=False, free_run=True, max_iters=max_iters)
+        return out["mel_outputs"]
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    out = decode(variables, inputs, lengths)
+    sync(out)
+    n_frames = out.shape[1]
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync(decode(variables, inputs, lengths))
+        best = min(best, time.perf_counter() - t0)
+
+    frame_shift_s = cfg.audio.hop_size / cfg.audio.sample_rate
+    audio_seconds = n_frames * frame_shift_s
+    return {"mel_frames_per_sec": n_frames / best,
+            "decode_seconds": best,
+            "rtf": best / audio_seconds}
+
+
+def main():
+    wn = bench_wavenet()
+    taco = bench_tacotron()
+    result = {
+        "metric": "wavenet_samples_per_sec_per_chip",
+        "value": round(wn["samples_per_sec"], 1),
+        "unit": "samples/s",
+        # realtime factor vs the 24 kHz realtime bar (the reference's CPU
+        # per-sample loop is far below 1.0)
+        "vs_baseline": round(wn["realtime_factor"], 4),
+        "wavenet_gen_seconds": round(wn["gen_seconds"], 3),
+        "wavenet_n_samples": wn["n_samples"],
+        "tacotron_mel_frames_per_sec": round(taco["mel_frames_per_sec"], 1),
+        "tacotron_decode_rtf": round(taco["rtf"], 5),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
