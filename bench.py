@@ -26,6 +26,8 @@ def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
     from tacotron_wavenet_vocoder_korean_tpu.config import Config
     from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
         WaveNet, Upsampler, incremental_generate)
+    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
+        pallas_incremental_generate)
 
     cfg = Config()
     w = cfg.wavenet
@@ -40,9 +42,13 @@ def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
     variables = model.init(rng, audio, mel)
     params = variables["params"]
 
+    use_pallas = jax.default_backend() != "cpu"
+
     @jax.jit
     def gen(params, mel, rng):
         lc = Upsampler(w).apply({"params": params["upsampler"]}, mel)
+        if use_pallas:
+            return pallas_incremental_generate(w, params, lc, rng)
         return incremental_generate(w, params, lc, rng)
 
     # NOTE: on the axon tunnel block_until_ready returns early; a host

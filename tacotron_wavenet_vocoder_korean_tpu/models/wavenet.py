@@ -243,7 +243,8 @@ def init_gen_state(cfg: WaveNetConfig, batch: int, rng: jax.Array,
 
 def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
               t: jnp.ndarray, lc_t: jnp.ndarray,
-              gc: Optional[jnp.ndarray], temperature: float = 1.0
+              gc: Optional[jnp.ndarray], temperature: float = 1.0,
+              deterministic: bool = False
               ) -> Tuple[GenState, jnp.ndarray]:
     """One sample: push prev into the buffers, sweep the stack, draw the next
     sample.  Mirrors the queue shifts of reference model.py:116-146 without
@@ -295,8 +296,14 @@ def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
 
     rng, step_rng = jax.random.split(state.rng)
     if cfg.scalar_input:
-        sample = sample_from_discretized_mix_logistic(
-            step_rng, logits[:, None, :])[:, 0]              # [B]
+        if deterministic:
+            nr = logits.shape[-1] // 3
+            sel = jax.nn.one_hot(jnp.argmax(logits[:, :nr], -1), nr)
+            sample = jnp.clip(
+                jnp.sum(logits[:, nr:2 * nr] * sel, -1), -1.0, 1.0)
+        else:
+            sample = sample_from_discretized_mix_logistic(
+                step_rng, logits[:, None, :])[:, 0]          # [B]
         nxt = sample[:, None]                                # [B, 1]
         emitted = sample
     else:
@@ -313,7 +320,8 @@ def incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
                          rng: jax.Array,
                          gc: Optional[jnp.ndarray] = None,
                          seed_audio: Optional[jnp.ndarray] = None,
-                         temperature: float = 1.0) -> jnp.ndarray:
+                         temperature: float = 1.0,
+                         deterministic: bool = False) -> jnp.ndarray:
     """Generate ``lc.shape[1]`` samples conditioned on upsampled mel
     ``lc [B, T, num_mels]``.  One XLA program for the whole utterance
     (the reference does one sess.run per sample, generate.py:202-233).
@@ -339,7 +347,8 @@ def incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
         use_seed = t < seed_len
         st = state._replace(
             prev=jnp.where(use_seed, seed_t, state.prev))
-        return _gen_step(cfg, params, st, t, lc_t, gc, temperature)
+        return _gen_step(cfg, params, st, t, lc_t, gc, temperature,
+                         deterministic)
 
     ts = jnp.arange(T)
     _, samples = jax.lax.scan(

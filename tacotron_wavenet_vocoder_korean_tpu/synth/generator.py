@@ -58,11 +58,17 @@ class WaveNetGenerator:
     @functools.cached_property
     def _generate(self):
         cfg = self.cfg
+        use_pallas = (cfg.wavenet.scalar_input
+                      and jax.default_backend() != "cpu")
 
         @jax.jit
         def gen(params, mel, rng, gc):
             lc = Upsampler(cfg.wavenet).apply(
                 {"params": params["upsampler"]}, mel)
+            if use_pallas:
+                from ..ops.wavenet_pallas import pallas_incremental_generate
+                return pallas_incremental_generate(
+                    cfg.wavenet, params, lc, rng, gc=gc), lc
             return incremental_generate(
                 cfg.wavenet, params, lc, rng,
                 gc=gc), lc

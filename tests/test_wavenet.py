@@ -168,3 +168,29 @@ def test_gen_state_shapes():
     assert st.causal_buf.shape == (3, 8, 1)
     assert len(st.layer_bufs) == 6
     assert st.layer_bufs[2].shape == (3, 4, 8)
+
+
+def test_pallas_generate_matches_scan_deterministic():
+    """The persistent Pallas kernel must equal the scan sampler exactly in
+    deterministic mode (argmax mixture mean, no noise)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
+        pallas_incremental_generate)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import Upsampler
+
+    audio, mel = make_inputs(B=1, frames=16)  # T=160
+    model = WaveNet(TINY)
+    vars_ = model.init(RNG, audio, mel)
+    params = vars_["params"]
+    lc = Upsampler(TINY).apply({"params": params["upsampler"]}, mel)
+
+    scan_out = np.asarray(incremental_generate(
+        TINY, params, lc, RNG, deterministic=True))[0]
+
+    with pltpu.force_tpu_interpret_mode():
+        pallas_out = np.asarray(pallas_incremental_generate(
+            TINY, params, lc, RNG, chunk=32, deterministic=True))[0]
+
+    err = np.abs(pallas_out - scan_out).max()
+    assert err < 1e-4, f"pallas/scan mismatch: {err}"
+    assert np.std(scan_out) > 0
