@@ -1,4 +1,7 @@
-"""Inference: Tacotron synthesizer and WaveNet generator."""
+"""Inference: Tacotron synthesizer, WaveNet generator, end-to-end pipeline."""
 from .synthesizer import Synthesizer, attention_trim_index
+from .generator import WaveNetGenerator
+from .e2e import TTSPipeline
 
-__all__ = ["Synthesizer", "attention_trim_index"]
+__all__ = ["Synthesizer", "attention_trim_index", "WaveNetGenerator",
+           "TTSPipeline"]

@@ -1,0 +1,49 @@
+"""End-to-end TTS: text -> Tacotron mel -> WaveNet waveform.
+
+Glues the two inference stages (reference workflow: synthesizer.py produces a
+mel .npy consumed by generate.py; here one call does both in-process, keeping
+the mel on device).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .synthesizer import Synthesizer
+from .generator import WaveNetGenerator
+from .. import dsp
+
+
+class TTSPipeline:
+    def __init__(self):
+        self.synth = Synthesizer()
+        self.vocoder: Optional[WaveNetGenerator] = None
+
+    def load(self, tacotron_dir: str, wavenet_dir: Optional[str] = None
+             ) -> "TTSPipeline":
+        self.synth.load(tacotron_dir)
+        if wavenet_dir:
+            self.vocoder = WaveNetGenerator().load(wavenet_dir)
+        return self
+
+    def tts(self, texts: Union[str, Sequence[str]],
+            base_path: Optional[str] = None,
+            speaker_ids: Optional[Sequence[int]] = None,
+            use_wavenet: bool = True) -> List[dict]:
+        """Synthesize; Griffin-Lim wav always produced, plus WaveNet wav when
+        a vocoder is loaded."""
+        results = self.synth.synthesize(texts, base_path=base_path,
+                                        speaker_ids=speaker_ids)
+        if use_wavenet and self.vocoder is not None:
+            for idx, r in enumerate(results):
+                sid = speaker_ids[idx] if speaker_ids else None
+                wav = self.vocoder.generate(r["mel"], speaker_id=sid)
+                r["wavenet_wav"] = wav
+                if base_path:
+                    path = os.path.join(base_path, f"{idx}.wavenet.wav")
+                    dsp.save_wav(wav, path,
+                                 self.synth.cfg.audio.sample_rate)
+                    r["wavenet_wav_path"] = path
+        return results

@@ -1,0 +1,89 @@
+"""Utils tests: MCD metric, ValueWindow, misc helpers, checkpoint manager."""
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.config import AudioConfig
+from tacotron_wavenet_vocoder_korean_tpu.utils import metrics, misc
+from tacotron_wavenet_vocoder_korean_tpu.utils.infolog import ValueWindow
+
+CFG = AudioConfig()
+
+
+def _tone(f, dur=0.4, sr=24000):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_mcd_identity():
+    w = _tone(220)
+    assert metrics.mcd(w, w, CFG) < 1e-4
+
+
+def test_mcd_orders_similarity():
+    a = _tone(220)
+    near = _tone(230)
+    far = _tone(1400)
+    assert metrics.mcd(a, near, CFG) < metrics.mcd(a, far, CFG)
+
+
+def test_dtw_handles_length_mismatch():
+    a = _tone(220, dur=0.3)
+    b = _tone(220, dur=0.45)
+    v = metrics.mcd(a, b, CFG, use_dtw=True)
+    assert np.isfinite(v) and v < 3.0  # same tone, stretched
+
+
+def test_value_window():
+    w = ValueWindow(3)
+    for v in [1, 2, 3, 4]:
+        w.append(v)
+    assert w.count == 3
+    assert w.average == 3.0
+
+
+def test_misc_helpers():
+    assert misc.str2bool("yes") is True
+    assert misc.str2bool("0") is False
+    with pytest.raises(Exception):
+        misc.str2bool("maybe")
+    assert misc.add_postfix("a/b.wav", "manual") == "a/b.manual.wav"
+    assert misc.parallel_map(lambda x: x * 2, [1, 2, 3], 2) == [2, 4, 6]
+    rev = misc.get_git_revision()
+    assert rev is None or len(rev) == 40
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from tacotron_wavenet_vocoder_korean_tpu.train.checkpoints import (
+        CheckpointManager, restore_into_state)
+    from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+        TrainState)
+
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params={"w": jnp.arange(6.0).reshape(2, 3)},
+        batch_stats={},
+        opt_state=(jnp.zeros(3),))
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    mgr.save(7, state)
+    assert mgr.latest_step() == 7
+    zero = TrainState(jnp.zeros((), jnp.int32),
+                      {"w": jnp.zeros((2, 3))}, {}, (jnp.zeros(3),))
+    restored = mgr.restore(zero)
+    assert int(restored.step) == 7
+    assert np.allclose(np.asarray(restored.params["w"]),
+                       np.arange(6.0).reshape(2, 3))
+    mgr.close()
+
+    # load_path semantics keep the step; initialize_path resets it
+    st, start = restore_into_state(zero, str(tmp_path), None)
+    assert start == 7
+    st, start = restore_into_state(zero, None, str(tmp_path))
+    assert start == 0 and int(st.step) == 0
+
+
+def test_mutual_exclusion():
+    from tacotron_wavenet_vocoder_korean_tpu.train.checkpoints import (
+        restore_into_state)
+    with pytest.raises(ValueError):
+        restore_into_state(None, "a", "b")
