@@ -63,6 +63,11 @@ def scan_npz_dir(data_dir: str, cfg: Config,
             continue
         if min_n_frame <= n_frame <= max_n_frame and n_tokens >= t.min_tokens:
             keep.append(p)
+    # Known-bad son/yuinna clips (reference datafeeder_tacotron.py:47-49).
+    if any(tag in data_dir for tag in ("son", "yuinna")):
+        blacklist = (".0000.", ".0001.", "NB11479580.0001")
+        keep = [p for p in keep
+                if not any(b in os.path.basename(p) for b in blacklist)]
     return keep
 
 

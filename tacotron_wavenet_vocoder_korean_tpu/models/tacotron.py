@@ -331,11 +331,14 @@ def tacotron_loss(outputs: Dict[str, jnp.ndarray],
 
 def learning_rate_schedule(cfg: TacotronConfig,
                            is_randomly_initialized: bool = False):
-    """Noam-style warmup (reference tacotron.py:294-303)."""
+    """Mode 0: Noam-style warmup; mode 1: exponential decay 0.95 per 3000
+    steps (reference tacotron.py:294-303)."""
     warmup = 4000.0 if is_randomly_initialized else 40000.0
 
     def schedule(step):
         s = jnp.asarray(step, jnp.float32) + 1.0
+        if cfg.decay_learning_rate_mode == 1:
+            return cfg.initial_learning_rate * 0.95 ** (s / 3000.0)
         return (cfg.initial_learning_rate * warmup ** 0.5
                 * jnp.minimum(s * warmup ** -1.5, s ** -0.5))
 

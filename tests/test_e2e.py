@@ -1,0 +1,116 @@
+"""End-to-end CPU regression: preprocess -> train -> checkpoint ->
+synthesize -> vocode, all on tiny configs."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tacotron_wavenet_vocoder_korean_tpu.config import (
+    Config, TacotronConfig, WaveNetConfig, AudioConfig, TrainConfig, overlay)
+from tacotron_wavenet_vocoder_korean_tpu.data.loader import TacotronBatch
+from tacotron_wavenet_vocoder_korean_tpu.train import (
+    TacotronTask, CheckpointManager, prepare_run_dir, batch_to_dict)
+from tacotron_wavenet_vocoder_korean_tpu.synth import Synthesizer
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_config():
+    return Config(tacotron=TacotronConfig(
+        enc_bank_size=2, enc_bank_channel_size=16, enc_rnn_size=16,
+        enc_prenet_sizes=(32, 16), enc_proj_sizes=(16, 16),
+        attention_size=16, attention_state_size=16,
+        dec_rnn_size=16, dec_prenet_sizes=(32, 16),
+        post_bank_size=2, post_bank_channel_size=16, post_rnn_size=16,
+        post_proj_sizes=(32, 80), embedding_size=16, max_iters=8))
+
+
+def make_batch(B=2, T_in=16, T_out=20):
+    rng = np.random.RandomState(0)
+    return TacotronBatch(
+        inputs=rng.randint(2, 70, size=(B, T_in)).astype(np.int32),
+        input_lengths=np.full((B,), T_in, np.int32),
+        loss_coeff=np.ones((B,), np.float32),
+        mel_targets=(rng.randn(B, T_out, 80) * 0.1).astype(np.float32),
+        linear_targets=(rng.randn(B, T_out, 1025) * 0.1).astype(np.float32),
+        speaker_id=np.zeros((B,), np.int32))
+
+
+def test_train_save_synthesize(tmp_path):
+    """Full inference contract: a run dir written by the trainer must be
+    loadable by the Synthesizer and produce wav + mel + alignment files."""
+    log_dir = str(tmp_path / "run")
+    cfg = tiny_config()
+    prepare_run_dir(log_dir, cfg)
+
+    task = TacotronTask(cfg)
+    batch = make_batch()
+    state = task.init_state(RNG, batch)
+    step_fn = task.jit_train_step()
+    b = batch_to_dict(batch)
+    for _ in range(2):
+        state, metrics = step_fn(state, b, RNG)
+    ckpt = CheckpointManager(log_dir)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+
+    synth = Synthesizer().load(log_dir)
+    assert synth.step == 2
+    results = synth.synthesize(
+        ["안녕하세요 오늘은 날씨가 좋습니다", "테스트"],
+        base_path=str(tmp_path / "out"), max_iters=6)
+    assert len(results) == 2
+    for r in results:
+        assert os.path.exists(r["wav_path"])
+        assert os.path.exists(r["mel_path"])
+        assert os.path.exists(r["alignment_path"])
+        assert r["wav"].ndim == 1 and len(r["wav"]) > 0
+        assert np.isfinite(r["wav"]).all()
+        mel = np.load(r["mel_path"])
+        assert mel.shape[1] == 80
+
+    # manual-attention second pass
+    results2 = synth.synthesize("안녕", manual_attention_mode=1, max_iters=6)
+    assert np.isfinite(results2[0]["wav"]).all()
+
+
+def test_wavenet_generator_roundtrip(tmp_path):
+    """WaveNet run dir -> generator -> waveform from the synthesizer's mel."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask, wavenet_batch_to_dict)
+    from tacotron_wavenet_vocoder_korean_tpu.data.loader import WaveNetBatch
+    from tacotron_wavenet_vocoder_korean_tpu.synth.generator import (
+        WaveNetGenerator)
+
+    log_dir = str(tmp_path / "wn")
+    cfg = overlay(Config(), wavenet={
+        "dilations": [1, 2, 4, 1, 2, 4], "residual_channels": 8,
+        "dilation_channels": 8, "skip_channels": 16, "out_channels": 12,
+        "initial_filter_width": 8, "sample_size": 1500, "batch_size": 2})
+    prepare_run_dir(log_dir, cfg)
+
+    hop = cfg.audio.hop_size
+    frames = 5
+    rng = np.random.RandomState(0)
+    batch = WaveNetBatch(
+        input_wav=rng.uniform(-0.5, 0.5,
+                              (2, frames * hop, 1)).astype(np.float32),
+        local_condition=rng.randn(2, frames, 80).astype(np.float32),
+        speaker_id=np.zeros((2,), np.int32))
+
+    task = WaveNetTask(cfg)
+    state = task.init_state(RNG, batch)
+    step_fn = task.jit_train_step()
+    state, metrics = step_fn(state, wavenet_batch_to_dict(batch))
+    assert np.isfinite(float(metrics["loss"]))
+    ckpt = CheckpointManager(log_dir)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+
+    gen = WaveNetGenerator().load(log_dir)
+    mel = rng.randn(4, 80).astype(np.float32)
+    wav = gen.generate(mel)
+    assert wav.shape == (4 * hop,)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0

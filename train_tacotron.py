@@ -28,6 +28,8 @@ from tacotron_wavenet_vocoder_korean_tpu.train import (
     restore_into_state, batch_to_dict)
 from tacotron_wavenet_vocoder_korean_tpu.parallel import (
     make_mesh, shard_batch)
+from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
+    maybe_trace_step)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
     infolog_init, log, ValueWindow, plot)
 from tacotron_wavenet_vocoder_korean_tpu import dsp
@@ -128,7 +130,9 @@ def train(args):
     try:
         for batch in feeder:
             t0 = time.time()
-            state, metrics = step_fn(state, batch, rng)
+            # opt-in device tracing (reference train_vocoder.py:158-167)
+            with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
+                state, metrics = step_fn(state, batch, rng)
             loss = float(metrics["loss"])
             step = int(state.step)
             time_window.append(time.time() - t0)

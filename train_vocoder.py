@@ -27,6 +27,8 @@ from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
 from tacotron_wavenet_vocoder_korean_tpu.train import (
     CheckpointManager, prepare_run_dir, load_run_config, restore_into_state)
 from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
+from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
+    maybe_trace_step)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
     infolog_init, log, ValueWindow)
 
@@ -85,7 +87,9 @@ def train(args):
     try:
         for batch in feeder:
             t0 = time.time()
-            state, metrics = step_fn(state, batch)
+            # opt-in device tracing (reference train_vocoder.py:158-167)
+            with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
+                state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
             step = int(state.step)
             time_window.append(time.time() - t0)
