@@ -59,7 +59,8 @@ def save_and_plot(log_dir: str, step: int, eval_out, batch, cfg):
     tokens = np.asarray(batch["inputs"])[idx]
     length = int(np.asarray(batch["input_lengths"])[idx])
 
-    wav = np.asarray(dsp.inv_linear_spectrogram(linear, cfg.audio))
+    # linear is [frames, num_freq]; the DSP expects [num_freq, frames]
+    wav = np.asarray(dsp.inv_linear_spectrogram(linear.T, cfg.audio))
     wav_path = os.path.join(log_dir, f"step-{step}-audio.wav")
     dsp.save_wav(wav, wav_path, cfg.audio.sample_rate)
 
