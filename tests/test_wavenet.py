@@ -194,3 +194,39 @@ def test_pallas_generate_matches_scan_deterministic():
     err = np.abs(pallas_out - scan_out).max()
     assert err < 1e-4, f"pallas/scan mismatch: {err}"
     assert np.std(scan_out) > 0
+
+
+def test_pallas_generate_gc_matches_scan():
+    """Global (speaker) conditioning folds into the lc bias in the kernel;
+    must still match the scan sampler."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
+        pallas_incremental_generate)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import Upsampler
+
+    cfg = WaveNetConfig(
+        dilations=(1, 2, 4, 1, 2, 4), residual_channels=8,
+        dilation_channels=8, skip_channels=16, out_channels=12,
+        initial_filter_width=8, upsample_factor=(2, 5), sample_size=100,
+        batch_size=1, num_speakers=3, gc_channels=4)
+    audio, mel = make_inputs(B=1, frames=10)
+    model = WaveNet(cfg)
+    sid = jnp.zeros((1,), jnp.int32)
+    vars_ = model.init(RNG, audio, mel, sid)
+    params = vars_["params"]
+    lc = Upsampler(cfg).apply({"params": params["upsampler"]}, mel)
+    gc = params["gc_embedding"][jnp.asarray([1])]   # speaker 1 embedding
+
+    scan_out = np.asarray(incremental_generate(
+        cfg, params, lc, RNG, gc=gc, deterministic=True))[0]
+    with pltpu.force_tpu_interpret_mode():
+        pallas_out = np.asarray(pallas_incremental_generate(
+            cfg, params, lc, RNG, gc=gc, chunk=20, deterministic=True))[0]
+    err = np.abs(pallas_out - scan_out).max()
+    assert err < 1e-4, f"gc pallas/scan mismatch: {err}"
+
+    # and conditioning actually matters: different speaker -> different audio
+    gc0 = params["gc_embedding"][jnp.asarray([0])]
+    scan0 = np.asarray(incremental_generate(
+        cfg, params, lc, RNG, gc=gc0, deterministic=True))[0]
+    assert np.abs(scan0 - scan_out).max() > 1e-6
