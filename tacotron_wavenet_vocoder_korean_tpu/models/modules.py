@@ -6,7 +6,7 @@ reproduces TF's ``bidirectional_dynamic_rnn`` reverse_sequence semantics.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ train_tacotron.py:152-158).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -16,7 +16,7 @@ import optax
 
 from ..config import Config
 from ..models.wavenet import WaveNet, wavenet_loss
-from ..parallel.mesh import Mesh, batch_sharding, replicated
+from ..parallel.mesh import Mesh, batch_sharding
 
 
 class WaveNetTrainState(NamedTuple):

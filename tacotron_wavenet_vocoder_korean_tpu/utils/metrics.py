@@ -7,7 +7,7 @@ a synthesized wav and a reference wav, with DTW alignment.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
