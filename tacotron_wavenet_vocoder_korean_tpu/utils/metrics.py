@@ -19,11 +19,13 @@ MCD_CONST = 10.0 / math.log(10) * math.sqrt(2.0)
 
 def mel_cepstra(wav: np.ndarray, cfg: AudioConfig, n_mfcc: int = 13
                 ) -> np.ndarray:
-    """[T] -> [frames, n_mfcc] mel cepstra (DCT-II of log-mel), c0 dropped."""
+    """[T] -> [frames, n_mfcc] mel cepstra (DCT-II of natural-log mel
+    amplitudes, the standard MCD convention), c0 dropped."""
     import jax.numpy as jnp
     mel = np.asarray(dsp.mel_spectrogram(jnp.asarray(
         wav.astype(np.float32)), cfg))            # [num_mels, frames]
-    logmel = np.asarray(dsp.denormalize(jnp.asarray(mel), cfg))  # db scale
+    db = np.asarray(dsp.denormalize(jnp.asarray(mel), cfg)) + cfg.ref_level_db
+    logmel = db * (math.log(10) / 20.0)           # dB -> ln(amplitude)
     n = logmel.shape[0]
     # orthonormal DCT-II basis
     k = np.arange(n_mfcc + 1)[:, None]
@@ -69,5 +71,6 @@ def mcd(wav_a: np.ndarray, wav_b: np.ndarray, cfg: AudioConfig,
     else:
         n = min(len(ca), len(cb))
         ca, cb = ca[:n], cb[:n]
-    frame_dist = np.sqrt(np.sum((ca - cb) ** 2, axis=-1))
-    return float(MCD_CONST / math.sqrt(2.0) * frame_dist.mean())
+    # MCD = mean_t (10/ln10) * sqrt(2 * sum_k (c1_k - c2_k)^2)
+    frame_dist = np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=-1))
+    return float((10.0 / math.log(10)) * frame_dist.mean())
