@@ -130,6 +130,37 @@ class Synthesizer:
         return inputs, lengths
 
     # ------------------------------------------------------------------
+    def synthesize_long(self, text: str, base_path: Optional[str] = None,
+                        speaker_id: int = 0, silence_ms: float = 150.0,
+                        **kwargs) -> dict:
+        """Split long text at sentence boundaries, synthesize each piece, and
+        concatenate with short silences (the practical capability behind the
+        reference's short_concat path, synthesizer.py:289-330)."""
+        import re
+        pieces = [p.strip() for p in re.split(r"(?<=[.!?])\s+", text.strip())
+                  if p.strip()]
+        if not pieces:
+            pieces = [text]
+        results = self.synthesize(
+            pieces, base_path=None,
+            speaker_ids=[speaker_id] * len(pieces), **kwargs)
+        sr = self.cfg.audio.sample_rate
+        gap = np.zeros(int(sr * silence_ms / 1000.0), np.float32)
+        wav_parts = []
+        for r in results:
+            wav_parts.extend([r["wav"].astype(np.float32), gap])
+        wav = np.concatenate(wav_parts[:-1]) if wav_parts else np.zeros(0)
+        mel = np.concatenate([r["mel"] for r in results], axis=0)
+        out = {"wav": wav, "mel": mel, "text": text, "pieces": len(pieces)}
+        if base_path:
+            os.makedirs(base_path, exist_ok=True)
+            out["wav_path"] = os.path.join(base_path, "long.wav")
+            dsp.save_wav(wav, out["wav_path"], sr)
+            out["mel_path"] = os.path.join(base_path, "long.mel.npy")
+            np.save(out["mel_path"], mel, allow_pickle=False)
+        return out
+
+    # ------------------------------------------------------------------
     def synthesize(self, texts: Union[str, Sequence[str]],
                    base_path: Optional[str] = None,
                    speaker_ids: Optional[Sequence[int]] = None,

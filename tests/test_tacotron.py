@@ -233,3 +233,70 @@ def test_monotonic_parallel_math():
     # p=0 everywhere -> no attention mass anywhere
     att0 = A.monotonic_attention_parallel(jnp.zeros((1, 5)), prev)
     assert float(att0.sum()) < 1e-6
+
+
+def test_location_sensitive_cumulates():
+    """loc_sen state must be the cumulative sum of alignments."""
+    mech = A.LocationSensitiveAttention(16)
+    B, T = 2, 10
+    keys = jnp.zeros((B, T, 16))
+    values = jnp.ones((B, T, 8))
+    mask = jnp.ones((B, T), bool)
+    q = jnp.ones((B, 16))
+    state = mech.init_state(B, T)
+    vars_ = mech.init(RNG, q, state, keys, values, mask)
+    a1, s1 = mech.apply(vars_, q, state, keys, values, mask)
+    a2, s2 = mech.apply(vars_, q, s1, keys, values, mask)
+    assert np.allclose(np.asarray(s2), np.asarray(a2) + np.asarray(s1),
+                       atol=1e-6)
+
+
+def test_gmm_kappa_monotone():
+    """GMM attention kappa (window position) can only move forward."""
+    mech = A.GmmAttention(num_mixtures=8)
+    B, T = 2, 12
+    values = jnp.ones((B, T, 4))
+    mask = jnp.ones((B, T), bool)
+    state = mech.init_state(B, T)
+    rngk = jax.random.PRNGKey(3)
+    q = jax.random.normal(rngk, (B, 16))
+    vars_ = mech.init(RNG, q, state, None, values, mask)
+    _, s1 = mech.apply(vars_, q, state, None, values, mask)
+    _, s2 = mech.apply(vars_, q, s1, None, values, mask)
+    assert np.all(np.asarray(s1) >= 0)
+    assert np.all(np.asarray(s2) >= np.asarray(s1))
+
+
+def test_safe_cumprod_matches_naive():
+    x = jnp.asarray([[0.9, 0.5, 0.2, 0.7]])
+    got = np.asarray(A.safe_cumprod_exclusive(x))
+    want = np.asarray([[1.0, 0.9, 0.45, 0.09]])
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_synthesize_long_splits(tmp_path):
+    from tests.test_e2e import tiny_config, make_batch
+    from tacotron_wavenet_vocoder_korean_tpu.train import (
+        TacotronTask, CheckpointManager, prepare_run_dir, batch_to_dict)
+    from tacotron_wavenet_vocoder_korean_tpu.synth import Synthesizer
+
+    log_dir = str(tmp_path / "run")
+    cfg = tiny_config()
+    prepare_run_dir(log_dir, cfg)
+    task = TacotronTask(cfg)
+    batch = make_batch()
+    state = task.init_state(RNG, batch)
+    state, _ = task.jit_train_step()(state, batch_to_dict(batch), RNG)
+    mgr = CheckpointManager(log_dir)
+    mgr.save(1, state)
+    mgr.close()
+
+    synth = Synthesizer().load(log_dir)
+    out = synth.synthesize_long(
+        "첫 문장입니다. 두번째 문장입니다! 세번째?",
+        base_path=str(tmp_path / "long"), max_iters=4)
+    assert out["pieces"] == 3
+    assert len(out["wav"]) > 0
+    import os
+    assert os.path.exists(out["wav_path"])
+    assert os.path.exists(out["mel_path"])
