@@ -115,7 +115,12 @@ def bench_tacotron(repeats: int = 3) -> dict:
             "rtf": best / audio_seconds}
 
 
+from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+    enable_compilation_cache)
+
+
 def main():
+    enable_compilation_cache()
     wn = bench_wavenet()
     taco = bench_tacotron()
     result = {

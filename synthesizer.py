@@ -14,7 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tacotron_wavenet_vocoder_korean_tpu.synth import Synthesizer
 
 
+from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+    enable_compilation_cache)
+
+
 def main():
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--load_path", required=True, help="training run dir")
     p.add_argument("--text", action="append", required=True,

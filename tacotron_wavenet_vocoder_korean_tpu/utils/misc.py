@@ -56,3 +56,16 @@ def remove_file(path: str) -> None:
         os.remove(path)
     except OSError:
         pass
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: restarts reuse compiled programs
+    instead of paying the multi-minute recompile per shape bucket."""
+    import jax
+    path = path or os.path.expanduser("~/.cache/twvk_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs

@@ -129,7 +129,12 @@ def train(args):
         ckpt.close()
 
 
+from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+    enable_compilation_cache)
+
+
 def main():
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", type=lambda s: s.split(","), required=True)
     p.add_argument("--log_dir", default=None)
