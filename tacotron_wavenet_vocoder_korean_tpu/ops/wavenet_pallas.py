@@ -40,7 +40,6 @@ LOG_SCALE_MIN = float(math.log(1e-14))
 
 
 def pack_params(cfg: WaveNetConfig, params: Dict[str, Any],
-                gc: Optional[jnp.ndarray] = None,
                 weight_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Pack the flax param tree into kernel-layout arrays.
 
@@ -70,17 +69,18 @@ def pack_params(cfg: WaveNetConfig, params: Dict[str, Any],
         bias = jnp.concatenate([
             params.get(f"layer_{i}_filter_bias", jnp.zeros(D)),
             params.get(f"layer_{i}_gate_bias", jnp.zeros(D))])
-        if gc is not None:
-            w_gc = jnp.concatenate(
-                [params[f"layer_{i}_gc_filter"],
-                 params[f"layer_{i}_gc_gate"]], axis=-1)         # [G, 2D]
-            bias = bias + (gc.reshape(1, -1) @ w_gc)[0]
         lc_bias.append(bias)
 
     skip_bias = sum(params.get(f"layer_{i}_skip_bias", jnp.zeros(S))
                     for i in range(L))
+    w_gc_all = None
+    if f"layer_0_gc_filter" in params:
+        w_gc_all = jnp.concatenate([
+            jnp.concatenate([params[f"layer_{i}_gc_filter"],
+                             params[f"layer_{i}_gc_gate"]], axis=-1)
+            for i in range(L)], axis=-1)                      # [G, L*2D]
     wd = weight_dtype
-    return {
+    out = {
         "w_old": jnp.stack(w_old).astype(wd),                 # [L, R, 2D]
         "w_cur": jnp.stack(w_cur).astype(wd),                 # [L, R, 2D]
         "w_res": jnp.stack(w_res).astype(wd),                 # [L, D, R]
@@ -97,12 +97,20 @@ def pack_params(cfg: WaveNetConfig, params: Dict[str, Any],
             "bias",
             jnp.zeros(params["post_2"]["kernel"].shape[-1])).astype(jnp.float32),
     }
+    if w_gc_all is not None:
+        out["w_gc_all"] = w_gc_all
+    return out
 
 
 def precompute_lc_proj(packed: Dict[str, jnp.ndarray],
-                       lc: jnp.ndarray) -> jnp.ndarray:
-    """[T, C_lc] -> [T, L*2D]: one MXU matmul outside the sampling loop."""
-    return lc @ packed["w_lc_all"] + packed["lc_bias"][None, :]
+                       lc: jnp.ndarray,
+                       gc: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[T, C_lc] -> [T, L*2D]: one MXU matmul outside the sampling loop.
+    ``gc [G]`` (per-stream speaker embedding) folds in as a constant row."""
+    proj = lc @ packed["w_lc_all"] + packed["lc_bias"][None, :]
+    if gc is not None:
+        proj = proj + (gc.reshape(1, -1) @ packed["w_gc_all"])
+    return proj
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -119,9 +127,10 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def make_generate_kernel(cfg: WaveNetConfig, chunk: int,
-                         deterministic: bool = False):
-    """Build the kernel body for a given static config."""
+def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
+                         deterministic: bool = False,
+                         hist_dtype=jnp.float32):
+    """Build the kernel body for a static (config, chunk, batch)."""
     L = len(cfg.dilations)
     R, D, S = (cfg.residual_channels, cfg.dilation_channels,
                cfg.skip_channels)
@@ -131,24 +140,25 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int,
     # history window: power-of-2 >= max dilation so (t-d) mod M is cheap
     M = _next_pow2(max(dilations))
     unique_d = sorted(set(dilations))
+    B = batch
+    assert B <= 8, "batched kernel supports up to 8 streams"
 
-    def kernel(seed_ref,          # scalar prefetch [1] int32
-               lc_ref,            # [chunk, L*2D] VMEM (streamed)
-               w_old_ref,         # [L, R, 2D]
-               w_cur_ref,         # [L, R, 2D]
-               w_res_ref,         # [L, D, R]
-               w_skip_ref,        # [L*D, S]
-               b_res_ref,         # [L, R]
-               front_ref,         # [W, R]
-               skip_bias_ref,     # [1, S]
-               post1_ref, b1_ref, post2_ref, b2_ref,
-               out_ref,           # [1, 8, chunk] f32 (row 0 carries data)
-               hist, window):     # scratch: [M, L*R], [1, W]
+    def kernel(seed_ref, *refs):
+        # refs: B lc streams, then weights, then out_ref, then B hist
+        # scratches + window scratch.
+        lc_refs = refs[:B]
+        (w_old_ref, w_cur_ref, w_res_ref, w_skip_ref, b_res_ref,
+         front_ref, skip_bias_ref, post1_ref, b1_ref, post2_ref,
+         b2_ref) = refs[B:B + 11]
+        out_ref = refs[B + 11]
+        hists = refs[B + 12:B + 12 + B]
+        window = refs[B + 12 + B]          # [B, W]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
-            hist[...] = jnp.zeros_like(hist)
+            for hist in hists:
+                hist[...] = jnp.zeros_like(hist)
             window[...] = jnp.zeros_like(window)
 
         pltpu.prng_seed(seed_ref[0] + i)
@@ -158,37 +168,46 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int,
         def step(j, out_acc):
             t = i * chunk + j
 
-            # One history-row read per unique dilation: row (t-d) mod M
-            # carries every layer's input from step t-d.
-            rows = {d: hist[pl.ds(jax.lax.rem(t + M - (d % M), M), 1), :]
-                    for d in unique_d}
+            # One history-row read per (stream, unique dilation): row
+            # (t-d) mod M carries every layer's input from step t-d.
+            rows = {}
+            for d in unique_d:
+                idx = jax.lax.rem(t + M - (d % M), M)
+                rows[d] = jnp.concatenate(
+                    [hists[b][pl.ds(idx, 1), :] for b in range(B)],
+                    axis=0).astype(jnp.float32)                # [B, L*R]
 
             # Front causal conv over the raw-sample window.
             h = jnp.dot(window[...].astype(front_ref.dtype), front_ref[...],
-                        preferred_element_type=jnp.float32)       # [1, R]
+                        preferred_element_type=jnp.float32)    # [B, R]
 
-            lc_row = lc_ref[pl.ds(j, 1), :]                       # [1, L*2D]
+            lc_rows = jnp.concatenate(
+                [lc_refs[b][pl.ds(j, 1), :] for b in range(B)],
+                axis=0)                                        # [B, L*2D]
             h_parts = []
             gated_parts = []
             for l, d in enumerate(dilations):
-                old = rows[d][:, l * R:(l + 1) * R]                # [1, R]
+                old = rows[d][:, l * R:(l + 1) * R]            # [B, R]
                 fg = (jnp.dot(old.astype(w_old_ref.dtype), w_old_ref[l],
                               preferred_element_type=jnp.float32)
                       + jnp.dot(h.astype(w_cur_ref.dtype), w_cur_ref[l],
                                 preferred_element_type=jnp.float32)
-                      + lc_row[:, l * 2 * D:(l + 1) * 2 * D])      # [1, 2D]
+                      + lc_rows[:, l * 2 * D:(l + 1) * 2 * D])  # [B, 2D]
                 gated = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
                 h_parts.append(h)
                 gated_parts.append(gated)
                 res = jnp.dot(gated.astype(w_res_ref.dtype), w_res_ref[l],
-                              preferred_element_type=jnp.float32)  # [1, R]
+                              preferred_element_type=jnp.float32)  # [B, R]
                 h = h + res + b_res_ref[l][None, :]
 
-            # One store: this step's inputs for every layer.
-            hist[pl.ds(jax.lax.rem(t, M), 1), :] = jnp.concatenate(
-                h_parts, axis=-1)
+            # One store per stream: this step's inputs for every layer.
+            h_all = jnp.concatenate(h_parts, axis=-1)          # [B, L*R]
+            slot = jax.lax.rem(t, M)
+            for b in range(B):
+                hists[b][pl.ds(slot, 1), :] = \
+                    h_all[b:b + 1, :].astype(hist_dtype)
 
-            # Deferred skip: one [1, L*D] @ [L*D, S] MXU matmul.
+            # Deferred skip: one [B, L*D] @ [L*D, S] MXU matmul.
             gated_all = jnp.concatenate(gated_parts, axis=-1)
             skip_acc = jnp.dot(gated_all.astype(w_skip_ref.dtype),
                                w_skip_ref[...],
@@ -200,67 +219,79 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int,
             z = jnp.maximum(z, 0.0)
             logits = jnp.dot(z.astype(post2_ref.dtype), post2_ref[...],
                              preferred_element_type=jnp.float32) + b2_ref[...]
-            # logits: [1, C_out] = [logit_probs | means | log_scales]
+            # logits: [B, C_out] = [logit_probs | means | log_scales]
 
             if deterministic:
                 scores = logits[:, :nr_mix]
             else:
                 bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((2, 128)), jnp.uint32)
-                u_sel = _uniform_from_bits(bits[0:1, :nr_mix])     # [1, nr]
+                    pltpu.prng_random_bits((16, 128)), jnp.uint32)
+                u_sel = _uniform_from_bits(bits[0:B, :nr_mix])  # [B, nr]
                 scores = logits[:, :nr_mix] - jnp.log(-jnp.log(u_sel))
             sel = (scores >= jnp.max(scores, axis=-1, keepdims=True))
             sel = sel.astype(jnp.float32)
-            sel = sel / jnp.sum(sel, axis=-1, keepdims=True)       # ties safe
+            sel = sel / jnp.sum(sel, axis=-1, keepdims=True)    # ties safe
             mean = jnp.sum(logits[:, nr_mix:2 * nr_mix] * sel, axis=-1)
             if deterministic:
-                x = jnp.clip(mean, -1.0, 1.0)
+                x = jnp.clip(mean, -1.0, 1.0)                   # [B]
             else:
                 log_scale = jnp.maximum(
                     jnp.sum(logits[:, 2 * nr_mix:] * sel, axis=-1),
                     LOG_SCALE_MIN)
-                u = _uniform_from_bits(bits[1:2, 0:1])[0]          # [1]
+                u = _uniform_from_bits(bits[8:8 + B, 0:1])[:, 0]  # [B]
                 x = mean + jnp.exp(log_scale) * (jnp.log(u) - jnp.log(1.0 - u))
-                x = jnp.clip(x, -1.0, 1.0)                         # [1]
+                x = jnp.clip(x, -1.0, 1.0)                      # [B]
 
             # Mosaic can't do unaligned dynamic 1-D stores; accumulate the
             # chunk in registers and store once at the end.
-            out_acc = jnp.where(lane == j, x[0], out_acc)
+            out_acc = jnp.where(lane == j, x[:, None], out_acc)  # [B, chunk]
             # Shift the raw-sample window and append the new sample.
             window[...] = jnp.concatenate(
-                [window[:, 1:], x[None, :]], axis=-1)
+                [window[:, 1:], x[:, None]], axis=-1)
             return out_acc
 
         out_acc = jax.lax.fori_loop(
-            0, chunk, step, jnp.zeros((1, chunk), jnp.float32))
-        out_ref[...] = jnp.broadcast_to(out_acc, (1, 8, chunk))
+            0, chunk, step, jnp.zeros((B, chunk), jnp.float32))
+        if B < 8:
+            out_acc = jnp.concatenate(
+                [out_acc, jnp.zeros((8 - B, chunk), jnp.float32)], axis=0)
+        out_ref[...] = out_acc[None]
 
     return kernel, M
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "chunk", "deterministic"))
+                   static_argnames=("cfg", "chunk", "deterministic",
+                                    "hist_dtype"))
 def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
-                    lc_proj: jnp.ndarray, seed: jnp.ndarray,
-                    chunk: int = 64, deterministic: bool = False
-                    ) -> jnp.ndarray:
-    """Generate lc_proj.shape[0] samples.  lc_proj: [T, L*2D] (T padded to a
-    multiple of ``chunk``); returns [T] float32 in [-1, 1]."""
-    T = lc_proj.shape[0]
+                    lc_projs, seed: jnp.ndarray,
+                    chunk: int = 64, deterministic: bool = False,
+                    hist_dtype=jnp.float32) -> jnp.ndarray:
+    """Generate T samples for B streams sharing weights.
+
+    ``lc_projs``: tuple of B arrays [T, L*2D] (T padded to a multiple of
+    ``chunk``).  Returns [B, T] float32 in [-1, 1].
+    """
+    if not isinstance(lc_projs, (list, tuple)):
+        lc_projs = (lc_projs,)
+    B = len(lc_projs)
+    T = lc_projs[0].shape[0]
     assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
     L = len(cfg.dilations)
     R = cfg.residual_channels
     W = cfg.initial_filter_width
     S = cfg.skip_channels
 
-    kernel, M = make_generate_kernel(cfg, chunk, deterministic)
+    kernel, M = make_generate_kernel(cfg, chunk, batch=B,
+                                     deterministic=deterministic,
+                                     hist_dtype=hist_dtype)
 
+    lc_specs = [pl.BlockSpec((chunk, lc_projs[0].shape[1]),
+                             lambda i, *_: (i, 0)) for _ in range(B)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // chunk,),
-        in_specs=[
-            pl.BlockSpec((chunk, lc_proj.shape[1]),
-                         lambda i, *_: (i, 0)),               # lc stream
+        in_specs=lc_specs + [
             pl.BlockSpec(packed["w_old"].shape, lambda i, *_: (0, 0, 0)),
             pl.BlockSpec(packed["w_cur"].shape, lambda i, *_: (0, 0, 0)),
             pl.BlockSpec(packed["w_res"].shape, lambda i, *_: (0, 0, 0)),
@@ -274,50 +305,66 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
             pl.BlockSpec((1, packed["b2"].shape[0]), lambda i, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, chunk), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((M, L * R), jnp.float32),   # layer-input history
-            pltpu.VMEM((1, W), jnp.float32),       # raw-sample window
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((M, L * R), hist_dtype) for _ in range(B)]
+            + [pltpu.VMEM((B, W), jnp.float32)]
+        ),
     )
 
-    out2d = pl.pallas_call(
+    out3d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T // chunk, 8, chunk), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed,
-      lc_proj,
+      *lc_projs,
       packed["w_old"], packed["w_cur"], packed["w_res"], packed["w_skip"],
       packed["b_res"], packed["front"], packed["skip_bias"][None, :],
       packed["post1"], packed["b1"][None, :],
       packed["post2"], packed["b2"][None, :])
-    return out2d[:, 0, :].reshape(T)
+    # [n_chunks, 8, chunk] -> [B, T]
+    return jnp.transpose(out3d[:, :B, :], (1, 0, 2)).reshape(B, T)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "deterministic", "weight_dtype"))
+    static_argnames=("cfg", "chunk", "deterministic", "weight_dtype",
+                     "hist_dtype"))
 def pallas_incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
                                 lc: jnp.ndarray, rng: jax.Array,
                                 gc: Optional[jnp.ndarray] = None,
                                 chunk: int = 64,
                                 deterministic: bool = False,
-                                weight_dtype=jnp.float32) -> jnp.ndarray:
-    """Drop-in for models.wavenet.incremental_generate (batch 1, scalar
-    input): [1, T, C_lc] mel-rate-upsampled lc -> [1, T] samples.
+                                weight_dtype=None,
+                                hist_dtype=None) -> jnp.ndarray:
+    """Drop-in for models.wavenet.incremental_generate (scalar input):
+    [B, T, C_lc] mel-rate-upsampled lc -> [B, T] samples, B <= 8 streams
+    sharing the weight-resident kernel.
 
     Jitted end-to-end: weight packing + lc projection fuse into the same
-    program as the kernel (eager packing cost ~0.9 s/call otherwise)."""
+    program as the kernel (eager packing cost ~0.9 s/call otherwise).
+    For B >= 2 weights default to bf16 and for B >= 4 the history window does
+    too — the f32 versions exceed VMEM.
+    """
     assert cfg.scalar_input, "pallas sampler supports scalar-input modes"
-    assert lc.shape[0] == 1, "pallas sampler is single-utterance"
-    gc_vec = gc[0] if gc is not None else None
-    packed = pack_params(cfg, params, gc_vec, weight_dtype=weight_dtype)
-    lc_proj = precompute_lc_proj(packed, lc[0])
-    T = lc_proj.shape[0]
+    B = lc.shape[0]
+    # VMEM-driven defaults (explicit values always win): f32 everything fits
+    # only at B=1; B>=2 needs bf16 weights, B>=4 bf16 history too.
+    if weight_dtype is None:
+        weight_dtype = jnp.float32 if B == 1 else jnp.bfloat16
+    if hist_dtype is None:
+        hist_dtype = jnp.bfloat16 if B >= 4 else jnp.float32
+    packed = pack_params(cfg, params, weight_dtype=weight_dtype)
+    T = lc.shape[1]
     T_pad = ((T + chunk - 1) // chunk) * chunk
-    lc_proj = jnp.pad(lc_proj, ((0, T_pad - T), (0, 0)))
+    lc_projs = []
+    for b in range(B):
+        gc_b = gc[b] if gc is not None else None
+        proj = precompute_lc_proj(packed, lc[b], gc_b)
+        lc_projs.append(jnp.pad(proj, ((0, T_pad - T), (0, 0))))
     seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
                        jnp.int32)
-    samples = pallas_generate(cfg, packed, lc_proj, seed, chunk=chunk,
-                              deterministic=deterministic)
-    return samples[None, :T]
+    samples = pallas_generate(cfg, packed, tuple(lc_projs), seed,
+                              chunk=chunk, deterministic=deterministic,
+                              hist_dtype=hist_dtype)
+    return samples[:, :T]
