@@ -14,6 +14,9 @@ overhead:
   * local-condition projections for every layer precomputed by one big
     MXU matmul (lc @ W_all + gc @ W_all + biases) and streamed per
     time-chunk through the pallas grid pipeline, flat [chunk, L*2D] layout
+  * multi-stream batching (B <= 8): per-stream history scratches and lc
+    streams share the weight-resident kernel — aggregate throughput scales
+    with B while the per-step latency barely moves
   * skip contributions deferred: the 50 gated outputs are concatenated and
     hit one [1, L*D] @ [L*D, S] MXU matmul instead of 50 tiny ones
   * mixture-of-logistics sampling in-kernel via the TPU PRNG
@@ -48,7 +51,8 @@ def pack_params(cfg: WaveNetConfig, params: Dict[str, Any],
       w_res  [L, D, R]
       w_skip [L*D, S]     all layers' skip kernels stacked (one matmul)
       b_res  [L, R]
-      w_lc_all [C_lc, L*2D], lc_bias [L*2D] (biases + gc folded)
+      w_lc_all [C_lc, L*2D], lc_bias [L*2D] (layer biases folded)
+      w_gc_all [G, L*2D]  (present when the model has speaker conditioning)
       front [W, R], skip_bias [S], post1/b1/post2/b2
     """
     L = len(cfg.dilations)
