@@ -132,37 +132,53 @@ def _next_pow2(n: int) -> int:
 
 
 def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
-                         deterministic: bool = False,
-                         hist_dtype=jnp.float32):
-    """Build the kernel body for a static (config, chunk, batch)."""
+                         deterministic: bool = False):
+    """Build the kernel body for a static (config, chunk, batch).
+
+    History layout: per (stream, unique dilation d) a compact ring of d rows,
+    each row holding the layer inputs of the layers that share that dilation
+    (grouped lanes).  Total history = sum(d) * group * R floats per stream
+    (~650 KB for the full model) instead of max_d * L * R (~3.3 MB) — this is
+    what lets 8 streams fit VMEM together with the weights.
+    """
     L = len(cfg.dilations)
     R, D, S = (cfg.residual_channels, cfg.dilation_channels,
                cfg.skip_channels)
     C_out = cfg.out_channels
     nr_mix = C_out // 3
     dilations = tuple(cfg.dilations)
-    # history window: power-of-2 >= max dilation so (t-d) mod M is cheap
-    M = _next_pow2(max(dilations))
     unique_d = sorted(set(dilations))
+    # layers grouped by dilation; position of layer l within its group
+    groups = {d: [l for l, dd in enumerate(dilations) if dd == d]
+              for d in unique_d}
+    group_pos = {}
+    for d, ls in groups.items():
+        for k, l in enumerate(ls):
+            group_pos[l] = (d, k)
     B = batch
     assert B <= 8, "batched kernel supports up to 8 streams"
+    n_hist = len(unique_d)
 
     def kernel(seed_ref, *refs):
-        # refs: B lc streams, then weights, then out_ref, then B hist
-        # scratches + window scratch.
+        # refs: B lc streams, 11 weight refs, out_ref, then B*n_hist history
+        # scratches (stream-major) + window scratch.
         lc_refs = refs[:B]
         (w_old_ref, w_cur_ref, w_res_ref, w_skip_ref, b_res_ref,
          front_ref, skip_bias_ref, post1_ref, b1_ref, post2_ref,
          b2_ref) = refs[B:B + 11]
         out_ref = refs[B + 11]
-        hists = refs[B + 12:B + 12 + B]
-        window = refs[B + 12 + B]          # [B, W]
+        hists = refs[B + 12:B + 12 + B * n_hist]
+        window = refs[B + 12 + B * n_hist]          # [B, W]
+
+        def hist(b, d):
+            return hists[b * n_hist + unique_d.index(d)]
+
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
-            for hist in hists:
-                hist[...] = jnp.zeros_like(hist)
+            for h_ref in hists:
+                h_ref[...] = jnp.zeros_like(h_ref)
             window[...] = jnp.zeros_like(window)
 
         pltpu.prng_seed(seed_ref[0] + i)
@@ -172,14 +188,14 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
         def step(j, out_acc):
             t = i * chunk + j
 
-            # One history-row read per (stream, unique dilation): row
-            # (t-d) mod M carries every layer's input from step t-d.
+            # One ring-row read per (stream, unique dilation): slot t mod d
+            # holds the group's layer inputs from step t-d.
             rows = {}
             for d in unique_d:
-                idx = jax.lax.rem(t + M - (d % M), M)
+                slot_d = jax.lax.rem(t, d) if d > 1 else 0
                 rows[d] = jnp.concatenate(
-                    [hists[b][pl.ds(idx, 1), :] for b in range(B)],
-                    axis=0).astype(jnp.float32)                # [B, L*R]
+                    [hist(b, d)[pl.ds(slot_d, 1), :] for b in range(B)],
+                    axis=0)                                    # [B, G_d*R]
 
             # Front causal conv over the raw-sample window.
             h = jnp.dot(window[...].astype(front_ref.dtype), front_ref[...],
@@ -187,29 +203,31 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
 
             lc_rows = jnp.concatenate(
                 [lc_refs[b][pl.ds(j, 1), :] for b in range(B)],
-                axis=0)                                        # [B, L*2D]
-            h_parts = []
+                axis=0).astype(jnp.float32)                    # [B, L*2D]
+            h_parts = [None] * L
             gated_parts = []
             for l, d in enumerate(dilations):
-                old = rows[d][:, l * R:(l + 1) * R]            # [B, R]
+                _, k = group_pos[l]
+                old = rows[d][:, k * R:(k + 1) * R]            # [B, R]
                 fg = (jnp.dot(old.astype(w_old_ref.dtype), w_old_ref[l],
                               preferred_element_type=jnp.float32)
                       + jnp.dot(h.astype(w_cur_ref.dtype), w_cur_ref[l],
                                 preferred_element_type=jnp.float32)
                       + lc_rows[:, l * 2 * D:(l + 1) * 2 * D])  # [B, 2D]
                 gated = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-                h_parts.append(h)
+                h_parts[l] = h
                 gated_parts.append(gated)
                 res = jnp.dot(gated.astype(w_res_ref.dtype), w_res_ref[l],
                               preferred_element_type=jnp.float32)  # [B, R]
                 h = h + res + b_res_ref[l][None, :]
 
-            # One store per stream: this step's inputs for every layer.
-            h_all = jnp.concatenate(h_parts, axis=-1)          # [B, L*R]
-            slot = jax.lax.rem(t, M)
-            for b in range(B):
-                hists[b][pl.ds(slot, 1), :] = \
-                    h_all[b:b + 1, :].astype(hist_dtype)
+            # One ring-row store per (stream, unique dilation).
+            for d in unique_d:
+                slot_d = jax.lax.rem(t, d) if d > 1 else 0
+                row = jnp.concatenate([h_parts[l] for l in groups[d]],
+                                      axis=-1)                 # [B, G_d*R]
+                for b in range(B):
+                    hist(b, d)[pl.ds(slot_d, 1), :] = row[b:b + 1, :]
 
             # Deferred skip: one [B, L*D] @ [L*D, S] MXU matmul.
             gated_all = jnp.concatenate(gated_parts, axis=-1)
@@ -261,16 +279,16 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
                 [out_acc, jnp.zeros((8 - B, chunk), jnp.float32)], axis=0)
         out_ref[...] = out_acc[None]
 
-    return kernel, M
+    hist_shapes = [(max(d, 8), len(groups[d]) * R) for d in unique_d]
+    return kernel, hist_shapes
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "chunk", "deterministic",
-                                    "hist_dtype"))
+                   static_argnames=("cfg", "chunk", "deterministic"))
 def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
                     lc_projs, seed: jnp.ndarray,
-                    chunk: int = 64, deterministic: bool = False,
-                    hist_dtype=jnp.float32) -> jnp.ndarray:
+                    chunk: int = 64, deterministic: bool = False
+                    ) -> jnp.ndarray:
     """Generate T samples for B streams sharing weights.
 
     ``lc_projs``: tuple of B arrays [T, L*2D] (T padded to a multiple of
@@ -286,9 +304,8 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
     W = cfg.initial_filter_width
     S = cfg.skip_channels
 
-    kernel, M = make_generate_kernel(cfg, chunk, batch=B,
-                                     deterministic=deterministic,
-                                     hist_dtype=hist_dtype)
+    kernel, hist_shapes = make_generate_kernel(cfg, chunk, batch=B,
+                                               deterministic=deterministic)
 
     lc_specs = [pl.BlockSpec((chunk, lc_projs[0].shape[1]),
                              lambda i, *_: (i, 0)) for _ in range(B)]
@@ -310,7 +327,8 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
         ],
         out_specs=pl.BlockSpec((1, 8, chunk), lambda i, *_: (i, 0, 0)),
         scratch_shapes=(
-            [pltpu.VMEM((M, L * R), hist_dtype) for _ in range(B)]
+            [pltpu.VMEM(shape, jnp.float32)
+             for _ in range(B) for shape in hist_shapes]
             + [pltpu.VMEM((B, W), jnp.float32)]
         ),
     )
@@ -332,32 +350,30 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "deterministic", "weight_dtype",
-                     "hist_dtype"))
+    static_argnames=("cfg", "chunk", "deterministic", "weight_dtype"))
 def pallas_incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
                                 lc: jnp.ndarray, rng: jax.Array,
                                 gc: Optional[jnp.ndarray] = None,
                                 chunk: int = 64,
                                 deterministic: bool = False,
-                                weight_dtype=None,
-                                hist_dtype=None) -> jnp.ndarray:
+                                weight_dtype=None) -> jnp.ndarray:
     """Drop-in for models.wavenet.incremental_generate (scalar input):
     [B, T, C_lc] mel-rate-upsampled lc -> [B, T] samples, B <= 8 streams
     sharing the weight-resident kernel.
 
     Jitted end-to-end: weight packing + lc projection fuse into the same
     program as the kernel (eager packing cost ~0.9 s/call otherwise).
-    For B >= 2 weights default to bf16 and for B >= 4 the history window does
-    too — the f32 versions exceed VMEM.
+    For B >= 2 weights default to bf16 (f32 exceeds VMEM with many streams).
     """
     assert cfg.scalar_input, "pallas sampler supports scalar-input modes"
     B = lc.shape[0]
-    # VMEM-driven defaults (explicit values always win): f32 everything fits
-    # only at B=1; B>=2 needs bf16 weights, B>=4 bf16 history too.
+    # VMEM-driven defaults (explicit values always win): compact per-dilation
+    # histories are tiny; the lc streams dominate, so bf16 weights from B>=2.
     if weight_dtype is None:
         weight_dtype = jnp.float32 if B == 1 else jnp.bfloat16
-    if hist_dtype is None:
-        hist_dtype = jnp.bfloat16 if B >= 4 else jnp.float32
+    if B > 4:
+        # 8 double-buffered f32 lc streams at chunk 64 exceed VMEM
+        chunk = min(chunk, 32)
     packed = pack_params(cfg, params, weight_dtype=weight_dtype)
     T = lc.shape[1]
     T_pad = ((T + chunk - 1) // chunk) * chunk
@@ -369,6 +385,5 @@ def pallas_incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
     seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
                        jnp.int32)
     samples = pallas_generate(cfg, packed, tuple(lc_projs), seed,
-                              chunk=chunk, deterministic=deterministic,
-                              hist_dtype=hist_dtype)
+                              chunk=chunk, deterministic=deterministic)
     return samples[:, :T]

@@ -254,7 +254,7 @@ def test_pallas_batched_generation_matches_per_stream():
     with pltpu.force_tpu_interpret_mode():
         batched = np.asarray(pallas_incremental_generate(
             TINY, params, lc, RNG, chunk=24, deterministic=True,
-            weight_dtype=jnp2.float32, hist_dtype=jnp2.float32))
+            weight_dtype=jnp2.float32))
     assert batched.shape == (2, 120)
     assert np.abs(batched[0] - scan0).max() < 1e-4
     assert np.abs(batched[1] - scan1).max() < 1e-4
