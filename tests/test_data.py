@@ -124,3 +124,17 @@ def test_device_prefetcher(moon_subset):
 def test_round_up():
     assert D.round_up(7, 5) == 10
     assert D.round_up(10, 5) == 10
+
+
+def test_device_prefetcher_propagates_errors():
+    """Feeder-thread exceptions must surface in the consumer
+    (reference coord.request_stop semantics, datafeeder_tacotron.py:185-191)."""
+    def bad_batcher():
+        yield 1
+        raise RuntimeError("disk on fire")
+
+    pf = D.DevicePrefetcher(bad_batcher(), put_fn=lambda x: x)
+    it = iter(pf)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        next(it)
