@@ -87,3 +87,43 @@ def test_mutual_exclusion():
         restore_into_state)
     with pytest.raises(ValueError):
         restore_into_state(None, "a", "b")
+
+
+def test_step_timer_skips_warmup():
+    from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import StepTimer
+    import time as _t
+    timer = StepTimer(warmup=2)
+    for i in range(5):
+        with timer:
+            _t.sleep(0.002)
+    assert timer.count == 5
+    assert 0 < timer.mean < 0.1
+
+
+def test_plot_outputs(tmp_path):
+    from tacotron_wavenet_vocoder_korean_tpu.utils import plot
+    a = np.random.RandomState(0).rand(12, 30)
+    p1 = str(tmp_path / "align.png")
+    plot.plot_alignment(a, p1, info="test", text=list("안녕하세요안녕하세요안녕"))
+    p2 = str(tmp_path / "spec.png")
+    plot.plot_spectrogram(a, p2, title="mel")
+    import os
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_optimizer_factory():
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        make_optimizer)
+    from tacotron_wavenet_vocoder_korean_tpu.config import (
+        Config, WaveNetConfig, overlay)
+    import jax.numpy as jnp
+    for opt in ("adam", "sgd", "rmsprop"):
+        cfg = overlay(Config(), wavenet={"optimizer": opt,
+                                         "clip_gradients": True})
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+    with pytest.raises(KeyError):
+        make_optimizer(overlay(Config(), wavenet={"optimizer": "lion"}))
