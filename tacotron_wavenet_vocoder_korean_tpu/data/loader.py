@@ -127,19 +127,29 @@ class TacotronBatcher:
 
     def _next_example(self, data_dir: str):
         paths = self.path_dict[data_dir]
-        if self._offset[data_dir] >= len(paths):
-            self._offset[data_dir] = 0
-            if self.data_type == "train":
-                self.rng.shuffle(paths)
-        p = paths[self._offset[data_dir]]
-        self._offset[data_dir] += 1
-        with np.load(p) as d:
-            tokens = np.asarray(d["tokens"], dtype=np.int32)
-            mel = np.asarray(d["mel"], dtype=np.float32)
-            linear = np.asarray(d["linear"], dtype=np.float32)
-            coeff = float(d["loss_coeff"]) if "loss_coeff" in d else 1.0
-        return (tokens, coeff, mel, linear, self.dir_to_id[data_dir],
-                linear.shape[0])
+        for _ in range(len(paths)):
+            if self._offset[data_dir] >= len(paths):
+                self._offset[data_dir] = 0
+                if self.data_type == "train":
+                    self.rng.shuffle(paths)
+            p = paths[self._offset[data_dir]]
+            self._offset[data_dir] += 1
+            try:
+                with np.load(p) as d:
+                    tokens = np.asarray(d["tokens"], dtype=np.int32)
+                    mel = np.asarray(d["mel"], dtype=np.float32)
+                    linear = np.asarray(d["linear"], dtype=np.float32)
+                    coeff = float(d["loss_coeff"]) if "loss_coeff" in d else 1.0
+            except Exception:
+                # corrupt npz: drop it from the epoch (reference deletes the
+                # file outright, datafeeder_tacotron.py:242-249)
+                paths.remove(p)
+                self._offset[data_dir] = min(self._offset[data_dir],
+                                             len(paths))
+                continue
+            return (tokens, coeff, mel, linear, self.dir_to_id[data_dir],
+                    linear.shape[0])
+        raise RuntimeError(f"no readable npz files remain in {data_dir}")
 
     def _group(self) -> List[list]:
         n = self.batch_size

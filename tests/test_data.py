@@ -138,3 +138,21 @@ def test_device_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="disk on fire"):
         next(it)
+
+
+def test_batcher_skips_corrupt_npz(moon_subset, tmp_path):
+    """A truncated npz must be dropped, not crash the epoch (reference
+    deletes corrupt files, datafeeder_tacotron.py:242-249)."""
+    import shutil as sh
+    cfg, out_dir, _ = moon_subset
+    work = tmp_path / "data"
+    sh.copytree(out_dir, work)
+    # corrupt one file
+    victims = [f for f in os.listdir(work) if f.endswith(".npz")]
+    with open(work / victims[0], "wb") as f:
+        f.write(b"not an npz")
+    cfg2 = overlay(cfg, tacotron={"min_iters": 1, "min_tokens": 5})
+    b = D.TacotronBatcher([str(work)], cfg2, "train", batch_size=2,
+                          batches_per_group=2, apply_filter=False)
+    batch = next(iter(b))
+    assert batch.inputs.shape[0] == 2
