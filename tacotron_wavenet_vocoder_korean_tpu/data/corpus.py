@@ -113,7 +113,11 @@ def build_from_json_corpus(cfg: Config, in_dir: str, out_dir: str,
         if not os.path.exists(wav_path):
             continue
         jobs.append((wav_path, text))
+    return _run_jobs(jobs, out_dir, cfg, num_workers, tqdm)
 
+
+def _run_jobs(jobs, out_dir: str, cfg: Config, num_workers: int,
+              tqdm) -> List[Example]:
     if num_workers <= 1:
         results = [_process_utterance(out_dir, w, t, cfg) for w, t in tqdm(jobs)]
     else:
@@ -139,9 +143,34 @@ def build_son(cfg: Config, in_dir: str, out_dir: str, num_workers: int = 1,
                                   "son-recognition-All.json", num_workers, tqdm)
 
 
+def build_ljspeech(cfg: Config, in_dir: str, out_dir: str,
+                   num_workers: int = 1, tqdm=lambda x: x) -> List[Example]:
+    """LJSpeech-1.1 layout: ``metadata.csv`` rows ``id|raw|normalized`` with
+    wavs at ``wavs/<id>.wav``.
+
+    The reference CLI advertises ``--name ljspeech`` (preprocess.py:42) but
+    ships no datasets/ljspeech.py module; this builder completes that path
+    with the same npz contract as moon/son.  Use ``english_cleaners`` in
+    ``cfg.tacotron.cleaners`` so the ASCII symbol table is selected.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = []
+    with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) < 2:
+                continue
+            wav_id, text = parts[0], parts[-1] or parts[1]
+            wav_path = os.path.join(in_dir, "wavs", wav_id + ".wav")
+            if os.path.exists(wav_path):
+                jobs.append((wav_path, text))
+    return _run_jobs(jobs, out_dir, cfg, num_workers, tqdm)
+
+
 CORPUS_BUILDERS = {
     "moon": build_moon,
     "son": build_son,
+    "ljspeech": build_ljspeech,
 }
 
 

@@ -59,6 +59,34 @@ def test_preprocess_invariants(moon_subset):
             assert d["tokens"][-1] == 1  # EOS
 
 
+def test_ljspeech_builder(tmp_path):
+    """LJSpeech layout (metadata.csv + wavs/) with english_cleaners."""
+    if not HAVE_MOON:
+        pytest.skip("bundled corpus not present (wav fixtures)")
+    in_dir = tmp_path / "LJSpeech-1.1"
+    (in_dir / "wavs").mkdir(parents=True)
+    src = sorted(os.listdir(os.path.join(MOON_DIR, "audio")))[:2]
+    rows = []
+    for i, name in enumerate(src):
+        wav_id = f"LJ001-{i:04d}"
+        shutil.copy(os.path.join(MOON_DIR, "audio", name),
+                    in_dir / "wavs" / f"{wav_id}.wav")
+        rows.append(f"{wav_id}|Printing number {i}|"
+                    f"Printing, in the only sense number {i}.")
+    with open(in_dir / "metadata.csv", "w", encoding="utf-8") as f:
+        f.write("\n".join(rows) + "\n")
+
+    cfg = overlay(Config(), tacotron={"cleaners": "english_cleaners"})
+    out_dir = tmp_path / "data"
+    examples = D.preprocess_corpus(cfg, "ljspeech", str(in_dir), str(out_dir),
+                                   num_workers=1)
+    assert len(examples) == 2
+    with np.load(os.path.join(str(out_dir), "LJ001-0000.npz")) as d:
+        assert "number" in str(d["text"])
+        assert d["tokens"][-1] == 1  # EOS in the English symbol table
+        assert len(d["audio"]) == int(d["mel_frames"]) * cfg.audio.hop_size
+
+
 def test_tacotron_batcher(moon_subset):
     cfg, out_dir, _ = moon_subset
     # relax length filters: bundled clips are short
