@@ -189,11 +189,37 @@ def test_pallas_generate_matches_scan_deterministic():
 
     with pltpu.force_tpu_interpret_mode():
         pallas_out = np.asarray(pallas_incremental_generate(
-            TINY, params, lc, RNG, chunk=32, deterministic=True))[0]
+            TINY, params, lc, RNG, chunk=32, deterministic=True,
+            weight_dtype=jnp.float32))[0]
 
     err = np.abs(pallas_out - scan_out).max()
     assert err < 1e-4, f"pallas/scan mismatch: {err}"
     assert np.std(scan_out) > 0
+
+
+@pytest.mark.parametrize("fuse_block", [1, 4])
+def test_pallas_fuse_block_variants_match_scan(fuse_block):
+    """The fused residual chain must be exact for any block size: 1 (the
+    unfused degenerate layout) and 4 (ragged last block for L=6)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
+        pallas_incremental_generate)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import Upsampler
+
+    audio, mel = make_inputs(B=1, frames=10)
+    model = WaveNet(TINY)
+    vars_ = model.init(RNG, audio, mel)
+    params = vars_["params"]
+    lc = Upsampler(TINY).apply({"params": params["upsampler"]}, mel)
+
+    scan_out = np.asarray(incremental_generate(
+        TINY, params, lc, RNG, deterministic=True))[0]
+    with pltpu.force_tpu_interpret_mode():
+        pallas_out = np.asarray(pallas_incremental_generate(
+            TINY, params, lc, RNG, chunk=20, deterministic=True,
+            fuse_block=fuse_block, weight_dtype=jnp.float32))[0]
+    err = np.abs(pallas_out - scan_out).max()
+    assert err < 1e-4, f"fuse_block={fuse_block} mismatch: {err}"
 
 
 def test_pallas_generate_gc_matches_scan():
@@ -221,7 +247,8 @@ def test_pallas_generate_gc_matches_scan():
         cfg, params, lc, RNG, gc=gc, deterministic=True))[0]
     with pltpu.force_tpu_interpret_mode():
         pallas_out = np.asarray(pallas_incremental_generate(
-            cfg, params, lc, RNG, gc=gc, chunk=20, deterministic=True))[0]
+            cfg, params, lc, RNG, gc=gc, chunk=20, deterministic=True,
+            weight_dtype=jnp.float32))[0]
     err = np.abs(pallas_out - scan_out).max()
     assert err < 1e-4, f"gc pallas/scan mismatch: {err}"
 
