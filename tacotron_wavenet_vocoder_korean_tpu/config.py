@@ -118,6 +118,9 @@ class TacotronConfig:
     max_iters: int = 200
 
     # Training
+    # 'bfloat16' runs the encoder/decoder/postnet compute in bf16 (params and
+    # attention math stay f32 — TPU mixed precision); 'float32' is exact.
+    compute_dtype: str = "float32"
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     initial_learning_rate: float = 1e-3
@@ -157,6 +160,9 @@ class WaveNetConfig:
     l2_regularization_strength: float = 0.0
 
     # Training
+    # 'bfloat16' runs the dilated-conv stack in bf16 (params, targets and the
+    # MoL loss stay f32); 'float32' is exact.
+    compute_dtype: str = "float32"
     batch_size: int = 8
     num_steps: int = 200000
     learning_rate: float = 1e-3

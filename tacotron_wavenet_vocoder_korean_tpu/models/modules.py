@@ -6,10 +6,12 @@ reproduces TF's ``bidirectional_dynamic_rnn`` reverse_sequence semantics.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+Dtype = Any  # compute dtype for mixed precision; params stay float32
 
 
 class Prenet(nn.Module):
@@ -19,11 +21,13 @@ class Prenet(nn.Module):
 
     layer_sizes: Sequence[int]
     dropout_rate: float = 0.5
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         for i, size in enumerate(self.layer_sizes):
-            x = nn.relu(nn.Dense(size, name=f"dense_{i + 1}")(x))
+            x = nn.relu(nn.Dense(size, dtype=self.dtype,
+                                 name=f"dense_{i + 1}")(x))
             x = nn.Dropout(self.dropout_rate, name=f"dropout_{i + 1}")(
                 x, deterministic=deterministic)
         return x
@@ -32,12 +36,15 @@ class Prenet(nn.Module):
 class HighwayLayer(nn.Module):
     """H*T + x*(1-T) with T-gate bias init -1 (modules.py:83-89)."""
 
+    dtype: Dtype = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        h = nn.relu(nn.Dense(dim, name="H")(x))
+        h = nn.relu(nn.Dense(dim, dtype=self.dtype, name="H")(x))
         t = nn.sigmoid(nn.Dense(
-            dim, name="T", bias_init=nn.initializers.constant(-1.0))(x))
+            dim, dtype=self.dtype, name="T",
+            bias_init=nn.initializers.constant(-1.0))(x))
         return h * t + x * (1.0 - t)
 
 
@@ -48,15 +55,16 @@ class BatchNormConv1d(nn.Module):
     channels: int
     kernel_size: int
     activation: Optional[str] = None  # None | 'relu'
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         y = nn.Conv(self.channels, kernel_size=(self.kernel_size,),
-                    padding="SAME", name="conv")(x)
+                    padding="SAME", dtype=self.dtype, name="conv")(x)
         if self.activation == "relu":
             y = nn.relu(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         name="bn")(y)
+                         dtype=self.dtype, name="bn")(y)
         return y
 
 
@@ -66,18 +74,23 @@ class GRU(nn.Module):
 
     units: int
     reverse: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  seq_lengths: Optional[jnp.ndarray] = None,
                  initial_state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        cell = nn.GRUCell(features=self.units)
+        cell = nn.GRUCell(features=self.units, dtype=self.dtype)
         rnn = nn.RNN(cell, reverse=self.reverse, keep_order=self.reverse,
                      name="rnn")
         kwargs = {}
         if seq_lengths is not None:
             kwargs["seq_lengths"] = seq_lengths
         if initial_state is not None:
+            # scan requires a dtype-stable carry: match the cell's compute
+            # dtype (mixed precision keeps params f32, activations in dtype)
+            if self.dtype is not None:
+                initial_state = initial_state.astype(self.dtype)
             kwargs["initial_carry"] = initial_state
         return rnn(x, **kwargs)
 
@@ -97,6 +110,7 @@ class CBHG(nn.Module):
     rnn_size: int
     proj_sizes: Sequence[int]
     proj_width: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray,
@@ -107,6 +121,7 @@ class CBHG(nn.Module):
         # Convolution bank: concat channel outputs of kernel sizes 1..K.
         conv_outputs = jnp.concatenate([
             BatchNormConv1d(self.bank_channel_size, k, "relu",
+                            dtype=self.dtype,
                             name=f"conv1d_bank_{k}")(inputs, train)
             for k in range(1, self.bank_size + 1)
         ], axis=-1)
@@ -125,28 +140,32 @@ class CBHG(nn.Module):
         for idx, size in enumerate(self.proj_sizes):
             act = None if idx == len(self.proj_sizes) - 1 else "relu"
             proj = BatchNormConv1d(size, self.proj_width, act,
+                                   dtype=self.dtype,
                                    name=f"proj_{idx + 1}")(proj, train)
 
         # Residual (+ speaker injection).
         if before_highway is not None:
-            highway_input = proj + inputs + before_highway[:, None, :]
+            highway_input = proj + inputs + \
+                before_highway[:, None, :].astype(proj.dtype)
         else:
             highway_input = proj + inputs
 
         if highway_input.shape[-1] != self.rnn_size:
-            highway_input = nn.Dense(self.rnn_size,
+            highway_input = nn.Dense(self.rnn_size, dtype=self.dtype,
                                      name="highway_in_proj")(highway_input)
 
         for i in range(self.highway_depth):
-            highway_input = HighwayLayer(name=f"highway_{i + 1}")(highway_input)
+            highway_input = HighwayLayer(dtype=self.dtype,
+                                         name=f"highway_{i + 1}")(highway_input)
 
         # Bidirectional GRU with optional speaker-derived init states.
         if rnn_init_state is not None:
             init_fw, init_bw = jnp.split(rnn_init_state, 2, axis=-1)
         else:
             init_fw = init_bw = None
-        out_fw = GRU(self.rnn_size, name="gru_fw")(
+        out_fw = GRU(self.rnn_size, dtype=self.dtype, name="gru_fw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_fw)
-        out_bw = GRU(self.rnn_size, reverse=True, name="gru_bw")(
+        out_bw = GRU(self.rnn_size, reverse=True, dtype=self.dtype,
+                     name="gru_bw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_bw)
         return jnp.concatenate([out_fw, out_bw], axis=-1)

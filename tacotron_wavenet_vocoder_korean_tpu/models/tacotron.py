@@ -46,6 +46,7 @@ class Decoder(nn.Module):
 
     cfg: TacotronConfig
     num_mels: int
+    dtype: Any = None   # compute dtype; attention math stays f32
 
     @nn.compact
     def __call__(self, keys, values, mask, max_steps: int,
@@ -58,28 +59,32 @@ class Decoder(nn.Module):
         cfg = self.cfg
         B = values.shape[0]
         T_in = values.shape[1]
+        dt = self.dtype or jnp.float32
 
         mechanism = make_attention(cfg.attention_type, cfg.attention_size)
         attn_state0 = mechanism.init_state(B, T_in)
 
         if init_states is not None:  # deepvoice speaker conditioning
-            attn_cell0 = init_states["attention_rnn_init_state"]
-            dec_cells0 = tuple(init_states["decoder_rnn_init_states"])
+            attn_cell0 = init_states["attention_rnn_init_state"].astype(dt)
+            dec_cells0 = tuple(st.astype(dt)
+                               for st in init_states["decoder_rnn_init_states"])
         else:
-            attn_cell0 = jnp.zeros((B, cfg.attention_state_size))
-            dec_cells0 = tuple(jnp.zeros((B, cfg.dec_rnn_size))
+            attn_cell0 = jnp.zeros((B, cfg.attention_state_size), dt)
+            dec_cells0 = tuple(jnp.zeros((B, cfg.dec_rnn_size), dt)
                                for _ in range(cfg.dec_layer_num))
 
         carry0 = DecoderCarry(
             attn_cell=attn_cell0,
-            context=jnp.zeros((B, values.shape[-1])),
+            context=jnp.zeros((B, values.shape[-1]), dt),
             attn_state=attn_state0,
             dec_cells=dec_cells0,
-            prev_frame=jnp.zeros((B, self.num_mels)),  # <GO> frame
+            prev_frame=jnp.zeros((B, self.num_mels), dt),  # <GO> frame
         )
 
         if teacher_frames is None:
-            teacher_frames = jnp.zeros((max_steps, B, self.num_mels))
+            teacher_frames = jnp.zeros((max_steps, B, self.num_mels), dt)
+        else:
+            teacher_frames = teacher_frames.astype(dt)
         if manual_alignments is None:
             manual_alignments = jnp.zeros((max_steps, B, T_in))
         if is_manual_attention is None:
@@ -89,7 +94,7 @@ class Decoder(nn.Module):
                 jnp.asarray(is_manual_attention)[None, None], (max_steps, B))
 
         step = _ScanDecoderStep(cfg=cfg, num_mels=self.num_mels,
-                                name="step")
+                                dtype=self.dtype, name="step")
         scan = nn.scan(
             lambda module, carry, xs: module(
                 carry, xs, keys, values, mask, speaker_embed,
@@ -115,24 +120,26 @@ class _ScanDecoderStep(nn.Module):
 
     cfg: TacotronConfig
     num_mels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry: DecoderCarry, xs, keys, values, mask,
                  speaker_embed, free_run, deterministic):
         cfg = self.cfg
+        dt = self.dtype or jnp.float32
         teacher_frame, manual_alignment, use_manual = xs
 
         frame_in = jnp.where(free_run, carry.prev_frame, teacher_frame)
 
-        x = Prenet(cfg.dec_prenet_sizes, cfg.dropout_prob,
+        x = Prenet(cfg.dec_prenet_sizes, cfg.dropout_prob, dtype=self.dtype,
                    name="decoder_prenet")(frame_in, deterministic)
         if speaker_embed is not None and cfg.model_type == "simple":
-            x = jnp.concatenate([x, speaker_embed], axis=-1)
+            x = jnp.concatenate([x, speaker_embed.astype(dt)], axis=-1)
 
         gru_in = jnp.concatenate([x, carry.context], axis=-1)
         attn_cell, gru_out = nn.GRUCell(
-            features=cfg.attention_state_size, name="attention_gru")(
-                carry.attn_cell, gru_in)
+            features=cfg.attention_state_size, dtype=self.dtype,
+            name="attention_gru")(carry.attn_cell, gru_in)
 
         mechanism = make_attention(cfg.attention_type, cfg.attention_size)
         computed_alignments, next_attn_state = mechanism(
@@ -140,24 +147,27 @@ class _ScanDecoderStep(nn.Module):
 
         alignments = jnp.where(use_manual[:, None], manual_alignment,
                                computed_alignments)
-        context = jnp.einsum("bt,btd->bd", alignments, values)
+        # attention math is f32; cast the context back to the compute dtype
+        context = jnp.einsum("bt,btd->bd", alignments,
+                             values.astype(jnp.float32)).astype(dt)
 
         cat = [gru_out, context]
         if speaker_embed is not None and cfg.model_type == "simple":
-            cat.append(speaker_embed)
-        h = nn.Dense(cfg.dec_rnn_size, name="decoder_input_projection")(
+            cat.append(speaker_embed.astype(dt))
+        h = nn.Dense(cfg.dec_rnn_size, dtype=self.dtype,
+                     name="decoder_input_projection")(
             jnp.concatenate(cat, axis=-1))
 
         new_dec_cells = []
         for i in range(cfg.dec_layer_num):
             cell_state, out = nn.GRUCell(
-                features=cfg.dec_rnn_size, name=f"decoder_gru_{i + 1}")(
-                    carry.dec_cells[i], h)
+                features=cfg.dec_rnn_size, dtype=self.dtype,
+                name=f"decoder_gru_{i + 1}")(carry.dec_cells[i], h)
             h = h + out
             new_dec_cells.append(cell_state)
 
         frames = nn.Dense(cfg.reduction_factor * self.num_mels,
-                          name="frame_projection")(h)
+                          dtype=self.dtype, name="frame_projection")(h)
         new_carry = DecoderCarry(
             attn_cell=attn_cell,
             context=context,
@@ -186,6 +196,9 @@ class Tacotron(nn.Module):
         cfg = self.cfg
         B, T_in = inputs.shape
         deterministic = not train
+        # Mixed precision (cfg.compute_dtype): modules compute in bf16 with
+        # f32 params; attention math and returned outputs stay f32.
+        dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
 
         # --- Character embedding with frozen-zero PAD row (tacotron.py:51-60)
         embed_table = self.param(
@@ -228,7 +241,7 @@ class Tacotron(nn.Module):
                                  f"multi-speaker")
 
         # --- Encoder: prenet + CBHG (tacotron.py:103-115)
-        prenet_out = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob,
+        prenet_out = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob, dtype=dt,
                             name="encoder_prenet")(char_embedded, deterministic)
         encoder_outputs = CBHG(
             bank_size=cfg.enc_bank_size,
@@ -238,6 +251,7 @@ class Tacotron(nn.Module):
             rnn_size=cfg.enc_rnn_size,
             proj_sizes=cfg.enc_proj_sizes,
             proj_width=cfg.enc_proj_width,
+            dtype=dt,
             name="encoder_cbhg")(
                 prenet_out, input_lengths, train,
                 before_highway=before_highway,
@@ -266,7 +280,7 @@ class Tacotron(nn.Module):
             manual_t = jnp.transpose(manual_alignments, (1, 0, 2))
 
         mel_outputs, alignments = Decoder(
-            cfg=cfg, num_mels=num_mels, name="decoder")(
+            cfg=cfg, num_mels=num_mels, dtype=dt, name="decoder")(
                 keys, values, mask, max_steps, teacher, manual_t,
                 is_manual_attention, speaker_embed, decoder_init_states,
                 free_run, deterministic)
@@ -280,21 +294,22 @@ class Tacotron(nn.Module):
             rnn_size=cfg.post_rnn_size,
             proj_sizes=cfg.post_proj_sizes,
             proj_width=cfg.post_proj_width,
+            dtype=dt,
             name="post_cbhg")(mel_outputs, None, train)
 
         if speaker_embed is not None and cfg.model_type == "simple":
             tiled = jnp.broadcast_to(
-                speaker_embed[:, None, :],
+                speaker_embed[:, None, :].astype(post_out.dtype),
                 (B, post_out.shape[1], speaker_embed.shape[-1]))
             post_out = jnp.concatenate([tiled, post_out], axis=-1)
 
-        linear_outputs = nn.Dense(self.audio.num_freq,
+        linear_outputs = nn.Dense(self.audio.num_freq, dtype=dt,
                                   name="linear_projection")(post_out)
 
         return {
-            "mel_outputs": mel_outputs,
-            "linear_outputs": linear_outputs,
-            "alignments": alignments,
+            "mel_outputs": mel_outputs.astype(jnp.float32),
+            "linear_outputs": linear_outputs.astype(jnp.float32),
+            "alignments": alignments.astype(jnp.float32),
         }
 
 

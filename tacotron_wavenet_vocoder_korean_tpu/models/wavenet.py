@@ -80,6 +80,10 @@ class WaveNet(nn.Module):
         """
         cfg = self.cfg
         rf = cfg.receptive_field
+        # Mixed precision: compute in bf16, params/targets/loss in f32
+        # (cfg.compute_dtype; exact when 'float32').
+        dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
 
         lc_full = Upsampler(cfg, name="upsampler")(mel)   # [B, T, num_mels]
 
@@ -91,16 +95,16 @@ class WaveNet(nn.Module):
             gc = gc_table[speaker_id]                      # [B, gc]
 
         if cfg.scalar_input:
-            x = audio[:, :-1, :]
+            x = audio[:, :-1, :].astype(dt)
             target = audio[:, rf:, :]
         else:
             from ..dsp.mulaw import mulaw_encode
             ids = mulaw_encode(audio[..., 0], cfg.quantization_channels)
             onehot = jax.nn.one_hot(ids, cfg.quantization_channels)
-            x = onehot[:, :-1, :]
+            x = onehot[:, :-1, :].astype(dt)
             target = ids[:, rf:]
 
-        lc = lc_full[:, :-1, :]                            # aligned with x
+        lc = lc_full[:, :-1, :].astype(dt)                 # aligned with x
 
         # Front causal conv (model.py:41-46).
         width = (cfg.initial_filter_width if cfg.scalar_input
@@ -108,26 +112,32 @@ class WaveNet(nn.Module):
         front_kernel = self.param(
             "causal_kernel", nn.initializers.glorot_normal(),
             (width, x.shape[-1], cfg.residual_channels))
-        h = _causal_conv(x, front_kernel, 1)
+        h = _causal_conv(x, front_kernel.astype(dt), 1)
         lc = lc[:, width - 1:, :]
 
         output_width = audio.shape[1] - rf
         skip_acc = None
+        if gc is not None:
+            gc = gc.astype(dt)
         for i, d in enumerate(cfg.dilations):
-            h, lc, skip = self._dilation_layer(i, d, h, lc, gc, output_width)
+            h, lc, skip = self._dilation_layer(i, d, h, lc, gc, output_width,
+                                               dt)
             skip_acc = skip if skip_acc is None else skip_acc + skip
 
         out = nn.Dense(cfg.skip_channels, use_bias=cfg.use_biases,
-                       name="post_1")(nn.relu(skip_acc))
+                       dtype=dt, name="post_1")(nn.relu(skip_acc))
         n_out = (cfg.out_channels if cfg.scalar_input
                  else cfg.quantization_channels)
         raw_output = nn.Dense(n_out, use_bias=cfg.use_biases,
-                              name="post_2")(nn.relu(out))
-        return {"raw_output": raw_output, "target": target,
+                              dtype=dt, name="post_2")(nn.relu(out))
+        return {"raw_output": raw_output.astype(jnp.float32),
+                "target": target,
                 "local_condition": lc_full}
 
-    def _dilation_layer(self, i: int, d: int, h, lc, gc, output_width):
+    def _dilation_layer(self, i: int, d: int, h, lc, gc, output_width,
+                        dt=jnp.float32):
         cfg = self.cfg
+        cast = lambda w: w.astype(dt)
         conv_filter = self.param(
             f"layer_{i}_filter_kernel", nn.initializers.glorot_normal(),
             (cfg.filter_width, cfg.residual_channels, cfg.dilation_channels))
@@ -143,8 +153,10 @@ class WaveNet(nn.Module):
                                 nn.initializers.zeros,
                                 (cfg.dilation_channels,))
 
-        filt = _causal_conv(h, conv_filter, d, b_filter)
-        gate = _causal_conv(h, conv_gate, d, b_gate)
+        filt = _causal_conv(h, cast(conv_filter), d,
+                            None if b_filter is None else cast(b_filter))
+        gate = _causal_conv(h, cast(conv_gate), d,
+                            None if b_gate is None else cast(b_gate))
         lc = lc[:, d:, :]                                   # input-aligned
 
         w_lc_f = self.param(f"layer_{i}_lc_filter",
@@ -155,8 +167,8 @@ class WaveNet(nn.Module):
                             nn.initializers.glorot_normal(),
                             (cfg.local_condition_channels,
                              cfg.dilation_channels))
-        filt = filt + lc @ w_lc_f
-        gate = gate + lc @ w_lc_g
+        filt = filt + lc @ cast(w_lc_f)
+        gate = gate + lc @ cast(w_lc_g)
 
         if gc is not None:
             w_gc_f = self.param(f"layer_{i}_gc_filter",
@@ -165,8 +177,8 @@ class WaveNet(nn.Module):
             w_gc_g = self.param(f"layer_{i}_gc_gate",
                                 nn.initializers.glorot_normal(),
                                 (cfg.gc_channels, cfg.dilation_channels))
-            filt = filt + (gc @ w_gc_f)[:, None, :]
-            gate = gate + (gc @ w_gc_g)[:, None, :]
+            filt = filt + (gc @ cast(w_gc_f))[:, None, :]
+            gate = gate + (gc @ cast(w_gc_g))[:, None, :]
 
         out = jnp.tanh(filt) * jax.nn.sigmoid(gate)
 
@@ -183,8 +195,10 @@ class WaveNet(nn.Module):
             b_skip = self.param(f"layer_{i}_skip_bias", nn.initializers.zeros,
                                 (cfg.skip_channels,))
 
-        skip = out[:, -output_width:, :] @ w_skip + b_skip
-        transformed = out @ w_res + b_res
+        skip = out[:, -output_width:, :] @ cast(w_skip) + (
+            b_skip if isinstance(b_skip, float) else cast(b_skip))
+        transformed = out @ cast(w_res) + (
+            b_res if isinstance(b_res, float) else cast(b_res))
         h = h[:, d:, :] + transformed                       # residual
         return h, lc, skip
 

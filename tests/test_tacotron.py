@@ -300,3 +300,42 @@ def test_synthesize_long_splits(tmp_path):
     import os
     assert os.path.exists(out["wav_path"])
     assert os.path.exists(out["mel_path"])
+
+
+def test_bfloat16_mixed_precision_close_to_f32():
+    """compute_dtype='bfloat16' keeps f32 params/attention and returns f32
+    outputs close to the exact f32 forward; a bf16 train step optimizes."""
+    batch = make_batch()
+    out32 = _forward(tiny_cfg(), batch)
+    out16 = _forward(tiny_cfg(compute_dtype="bfloat16"), batch)
+    assert out16["mel_outputs"].dtype == jnp.float32
+    m32 = np.asarray(out32["mel_outputs"])
+    m16 = np.asarray(out16["mel_outputs"])
+    assert np.isfinite(m16).all()
+    # same params (param_dtype f32, same rng); bf16 rounding only
+    assert np.abs(m32 - m16).mean() < 0.05 * (np.abs(m32).mean() + 1e-3)
+
+    cfg = Config(tacotron=tiny_cfg(compute_dtype="bfloat16",
+                                   initial_phase_step=0))
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    raw = make_batch()
+    tb = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.asarray(raw["loss_coeff"]),
+        mel_targets=np.asarray(raw["mel_targets"]),
+        linear_targets=np.asarray(raw["linear_targets"]),
+        speaker_id=np.asarray(raw["speaker_id"]))
+    state = task.init_state(RNG, tb)
+    # master params stay f32 under mixed precision
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    step = task.jit_train_step()
+    b = batch_to_dict(tb)
+    first = None
+    for _ in range(10):
+        state, metrics = step(state, b, RNG)
+        if first is None:
+            first = float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < first

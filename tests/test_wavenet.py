@@ -287,3 +287,28 @@ def test_pallas_batched_generation_matches_per_stream():
     assert np.abs(batched[1] - scan1).max() < 1e-4
     # the two streams genuinely differ
     assert np.abs(scan0 - scan1).max() > 1e-4
+
+
+def test_bfloat16_mixed_precision_close_to_f32():
+    """compute_dtype='bfloat16' computes the dilated stack in bf16 with f32
+    params and f32 logits close to the exact forward; gradients flow."""
+    import dataclasses
+    audio, mel = make_inputs()
+    cfg16 = dataclasses.replace(TINY, compute_dtype="bfloat16")
+    model32, model16 = WaveNet(TINY), WaveNet(cfg16)
+    params = model32.init(RNG, audio, mel)["params"]
+    out32 = model32.apply({"params": params}, audio, mel)
+    out16 = model16.apply({"params": params}, audio, mel)
+    assert out16["raw_output"].dtype == jnp.float32
+    r32 = np.asarray(out32["raw_output"])
+    r16 = np.asarray(out16["raw_output"])
+    assert np.isfinite(r16).all()
+    assert np.abs(r32 - r16).mean() < 0.05 * (np.abs(r32).mean() + 1e-3)
+    # loss finite + grads flow in bf16
+    def loss(p):
+        return wavenet_loss(cfg16, model16.apply({"params": p}, audio, mel))["loss"]
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9
