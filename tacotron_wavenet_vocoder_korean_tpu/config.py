@@ -121,6 +121,10 @@ class TacotronConfig:
     # 'bfloat16' runs the encoder/decoder/postnet compute in bf16 (params and
     # attention math stay f32 — TPU mixed precision); 'float32' is exact.
     compute_dtype: str = "float32"
+    # XLA unroll factor for the sequential loops (decoder scan + GRU RNNs).
+    # Pure scheduling knob: >1 trades compile time/code size for fewer loop
+    # iterations and more instruction-level overlap; outputs are identical.
+    scan_unroll: int = 1
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     initial_learning_rate: float = 1e-3

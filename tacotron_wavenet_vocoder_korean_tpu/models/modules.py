@@ -75,6 +75,7 @@ class GRU(nn.Module):
     units: int
     reverse: bool = False
     dtype: Dtype = None
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -82,7 +83,7 @@ class GRU(nn.Module):
                  initial_state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cell = nn.GRUCell(features=self.units, dtype=self.dtype)
         rnn = nn.RNN(cell, reverse=self.reverse, keep_order=self.reverse,
-                     name="rnn")
+                     unroll=self.unroll, name="rnn")
         kwargs = {}
         if seq_lengths is not None:
             kwargs["seq_lengths"] = seq_lengths
@@ -111,6 +112,7 @@ class CBHG(nn.Module):
     proj_sizes: Sequence[int]
     proj_width: int
     dtype: Dtype = None
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray,
@@ -163,9 +165,10 @@ class CBHG(nn.Module):
             init_fw, init_bw = jnp.split(rnn_init_state, 2, axis=-1)
         else:
             init_fw = init_bw = None
-        out_fw = GRU(self.rnn_size, dtype=self.dtype, name="gru_fw")(
+        out_fw = GRU(self.rnn_size, dtype=self.dtype, unroll=self.unroll,
+                     name="gru_fw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_fw)
         out_bw = GRU(self.rnn_size, reverse=True, dtype=self.dtype,
-                     name="gru_bw")(
+                     unroll=self.unroll, name="gru_bw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_bw)
         return jnp.concatenate([out_fw, out_bw], axis=-1)

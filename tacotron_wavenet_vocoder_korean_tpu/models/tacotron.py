@@ -102,6 +102,7 @@ class Decoder(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=0, length=max_steps,
+            unroll=cfg.scan_unroll,
         )
         _, (frame_blocks, alignments) = scan(
             step, carry0, (teacher_frames, manual_alignments, use_manual))
@@ -252,6 +253,7 @@ class Tacotron(nn.Module):
             proj_sizes=cfg.enc_proj_sizes,
             proj_width=cfg.enc_proj_width,
             dtype=dt,
+            unroll=cfg.scan_unroll,
             name="encoder_cbhg")(
                 prenet_out, input_lengths, train,
                 before_highway=before_highway,
@@ -295,6 +297,7 @@ class Tacotron(nn.Module):
             proj_sizes=cfg.post_proj_sizes,
             proj_width=cfg.post_proj_width,
             dtype=dt,
+            unroll=cfg.scan_unroll,
             name="post_cbhg")(mel_outputs, None, train)
 
         if speaker_embed is not None and cfg.model_type == "simple":

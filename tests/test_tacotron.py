@@ -339,3 +339,17 @@ def test_bfloat16_mixed_precision_close_to_f32():
             first = float(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < first
+
+
+def test_scan_unroll_is_output_identical():
+    """scan_unroll is a pure XLA scheduling knob: unroll=4 must produce the
+    same outputs as unroll=1 (incl. a non-divisor of max_iters)."""
+    batch = make_batch()
+    out1 = _forward(tiny_cfg(scan_unroll=1), batch)
+    out4 = _forward(tiny_cfg(scan_unroll=4), batch)
+    np.testing.assert_allclose(np.asarray(out1["mel_outputs"]),
+                               np.asarray(out4["mel_outputs"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1["alignments"]),
+                               np.asarray(out4["alignments"]),
+                               rtol=1e-5, atol=1e-5)
