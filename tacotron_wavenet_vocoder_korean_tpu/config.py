@@ -125,6 +125,11 @@ class TacotronConfig:
     # Pure scheduling knob: >1 trades compile time/code size for fewer loop
     # iterations and more instruction-level overlap; outputs are identical.
     scan_unroll: int = 1
+    # Fused GRU kernels: one [D,3H] input matmul (hoisted out of the scan
+    # for full sequences) + one [H,3H] recurrent matmul per step, vs flax
+    # GRUCell's six Denses.  Same math, different param layout — convert old
+    # checkpoints with models.modules.fuse_gru_params.
+    fused_rnn: bool = False
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     initial_learning_rate: float = 1e-3

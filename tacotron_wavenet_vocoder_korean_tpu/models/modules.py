@@ -6,12 +6,115 @@ reproduces TF's ``bidirectional_dynamic_rnn`` reverse_sequence semantics.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from flax.linen.recurrent import flip_sequences
 
 Dtype = Any  # compute dtype for mixed precision; params stay float32
+
+
+def _fused_gru_input_init(key, shape, dtype=jnp.float32):
+    """lecun_normal per [D,H] block — matches flax Dense's default init for
+    the ir/iz/in kernels it replaces."""
+    d, three_h = shape
+    h = three_h // 3
+    init = nn.initializers.lecun_normal()
+    return jnp.concatenate(
+        [init(k, (d, h), dtype) for k in jax.random.split(key, 3)], axis=1)
+
+
+def _fused_gru_recurrent_init(key, shape, dtype=jnp.float32):
+    """orthogonal per [H,H] block — matches flax GRUCell's recurrent init."""
+    h = shape[0]
+    init = nn.initializers.orthogonal()
+    return jnp.concatenate(
+        [init(k, (h, h), dtype) for k in jax.random.split(key, 3)], axis=1)
+
+
+def _fused_gru_step(h, xp, w_hh, b_hn):
+    """One GRU step given a precomputed input projection xp = x@w_ih + b_ih.
+
+    Same math as flax.linen.GRUCell (r/z/n gates, h' = (1-z)n + zh) but with
+    the three recurrent matmuls fused into a single [H,3H] product."""
+    hr, hz, hn = jnp.split(h @ w_hh, 3, axis=-1)
+    xr, xz, xn = jnp.split(xp, 3, axis=-1)
+    r = nn.sigmoid(xr + hr)
+    z = nn.sigmoid(xz + hz)
+    n = nn.tanh(xn + r * (hn + b_hn))
+    new_h = (1.0 - z) * n + z * h
+    return new_h, new_h
+
+
+class FusedGRUCell(nn.Module):
+    """GRU cell with block-fused kernels: one [D,3H] input matmul + one
+    [H,3H] recurrent matmul per step instead of flax GRUCell's six separate
+    Dense matmuls.  Math is identical (blocks ordered r,z,n);
+    :func:`fuse_gru_params` converts a trained GRUCell tree into this layout
+    exactly.  TPU rationale: the decoder scan is latency-bound on many tiny
+    matmuls — fusing cuts the per-step matmul count 3x."""
+
+    features: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h_dim = self.features
+        w_ih = self.param("w_ih", _fused_gru_input_init,
+                          (x.shape[-1], 3 * h_dim))
+        w_hh = self.param("w_hh", _fused_gru_recurrent_init,
+                          (h_dim, 3 * h_dim))
+        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * h_dim,))
+        b_hn = self.param("b_hn", nn.initializers.zeros, (h_dim,))
+        if self.dtype is not None:
+            w_ih, w_hh, b_ih, b_hn = (a.astype(self.dtype)
+                                      for a in (w_ih, w_hh, b_ih, b_hn))
+            x = x.astype(self.dtype)
+            carry = carry.astype(self.dtype)
+        return _fused_gru_step(carry, x @ w_ih + b_ih, w_hh, b_hn)
+
+
+def _is_gru_cell(d) -> bool:
+    return (isinstance(d, Mapping)
+            and {"ir", "iz", "in", "hr", "hz", "hn"} <= set(d.keys()))
+
+
+def _fuse_cell(d) -> dict:
+    return {
+        "w_ih": jnp.concatenate(
+            [d["ir"]["kernel"], d["iz"]["kernel"], d["in"]["kernel"]], axis=1),
+        "w_hh": jnp.concatenate(
+            [d["hr"]["kernel"], d["hz"]["kernel"], d["hn"]["kernel"]], axis=1),
+        "b_ih": jnp.concatenate(
+            [d["ir"]["bias"], d["iz"]["bias"], d["in"]["bias"]]),
+        "b_hn": d["hn"]["bias"],
+    }
+
+
+def fuse_gru_params(tree):
+    """Convert every flax GRUCell param subtree (ir/iz/in/hr/hz/hn Denses)
+    in ``tree`` into the fused layout (w_ih/w_hh/b_ih/b_hn), exactly
+    preserving the computed function.  Handles both layouts this framework
+    produces: a cell subtree named ``GRUCell_0`` under a GRU module scope
+    (spliced into the parent), and a cell directly at a module scope (the
+    decoder's attention_gru / decoder_gru_i).  Use to load checkpoints
+    trained with ``fused_rnn=False`` into a ``fused_rnn=True`` model."""
+    if not isinstance(tree, Mapping):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if _is_gru_cell(v):
+            out[k] = _fuse_cell(v)
+        elif (isinstance(v, Mapping) and "GRUCell_0" in v
+              and _is_gru_cell(v["GRUCell_0"])):
+            rest = {kk: fuse_gru_params(vv)
+                    for kk, vv in v.items() if kk != "GRUCell_0"}
+            out[k] = {**rest, **_fuse_cell(v["GRUCell_0"])}
+        else:
+            out[k] = fuse_gru_params(v)
+    return out
 
 
 class Prenet(nn.Module):
@@ -70,17 +173,31 @@ class BatchNormConv1d(nn.Module):
 
 class GRU(nn.Module):
     """Unidirectional GRU over [B, T, D] with optional initial state and
-    sequence-length masking, via flax nn.RNN."""
+    sequence-length masking.
+
+    Two implementations with identical semantics (flax reverse_sequence
+    convention: with ``reverse=True`` the flip happens within each row's
+    ``seq_lengths``, padding stays at the end, and outputs are flipped back):
+
+      * ``fused=False``: flax nn.RNN over nn.GRUCell (6 matmuls/step).
+      * ``fused=True``: the [D,3H] input projection is hoisted out of the
+        scan into ONE whole-sequence MXU matmul; the scan body is a single
+        [H,3H] recurrent matmul + gates.  Params are w_ih/w_hh/b_ih/b_hn at
+        this module's scope (convert old checkpoints with fuse_gru_params).
+    """
 
     units: int
     reverse: bool = False
     dtype: Dtype = None
     unroll: int = 1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  seq_lengths: Optional[jnp.ndarray] = None,
                  initial_state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.fused:
+            return self._fused_call(x, seq_lengths, initial_state)
         cell = nn.GRUCell(features=self.units, dtype=self.dtype)
         rnn = nn.RNN(cell, reverse=self.reverse, keep_order=self.reverse,
                      unroll=self.unroll, name="rnn")
@@ -94,6 +211,41 @@ class GRU(nn.Module):
                 initial_state = initial_state.astype(self.dtype)
             kwargs["initial_carry"] = initial_state
         return rnn(x, **kwargs)
+
+    def _fused_call(self, x, seq_lengths, initial_state):
+        h_dim = self.units
+        w_ih = self.param("w_ih", _fused_gru_input_init,
+                          (x.shape[-1], 3 * h_dim))
+        w_hh = self.param("w_hh", _fused_gru_recurrent_init,
+                          (h_dim, 3 * h_dim))
+        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * h_dim,))
+        b_hn = self.param("b_hn", nn.initializers.zeros, (h_dim,))
+        if self.dtype is not None:
+            w_ih, w_hh, b_ih, b_hn = (a.astype(self.dtype)
+                                      for a in (w_ih, w_hh, b_ih, b_hn))
+            x = x.astype(self.dtype)
+
+        # Hoisted input projection: one big [B,T,D]@[D,3H] matmul.
+        xp = x @ w_ih + b_ih
+        if self.reverse:
+            xp = flip_sequences(xp, seq_lengths, num_batch_dims=1,
+                                time_major=False)
+
+        if initial_state is None:
+            h0 = jnp.zeros((x.shape[0], h_dim), xp.dtype)
+        else:
+            h0 = initial_state.astype(xp.dtype)
+
+        def step(h, xp_t):
+            return _fused_gru_step(h, xp_t, w_hh, b_hn)
+
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xp, 0, 1),
+                             unroll=self.unroll)
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:  # keep_order: flip outputs back for bi-RNN concat
+            ys = flip_sequences(ys, seq_lengths, num_batch_dims=1,
+                                time_major=False)
+        return ys
 
 
 class CBHG(nn.Module):
@@ -113,6 +265,7 @@ class CBHG(nn.Module):
     proj_width: int
     dtype: Dtype = None
     unroll: int = 1
+    fused_rnn: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray,
@@ -166,9 +319,9 @@ class CBHG(nn.Module):
         else:
             init_fw = init_bw = None
         out_fw = GRU(self.rnn_size, dtype=self.dtype, unroll=self.unroll,
-                     name="gru_fw")(
+                     fused=self.fused_rnn, name="gru_fw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_fw)
         out_bw = GRU(self.rnn_size, reverse=True, dtype=self.dtype,
-                     unroll=self.unroll, name="gru_bw")(
+                     unroll=self.unroll, fused=self.fused_rnn, name="gru_bw")(
             highway_input, seq_lengths=input_lengths, initial_state=init_bw)
         return jnp.concatenate([out_fw, out_bw], axis=-1)

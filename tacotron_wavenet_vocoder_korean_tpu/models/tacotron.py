@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import TacotronConfig, AudioConfig
 from .attention import make_attention
-from .modules import CBHG, Prenet
+from .modules import CBHG, FusedGRUCell, Prenet
 
 
 class DecoderCarry(NamedTuple):
@@ -138,7 +138,8 @@ class _ScanDecoderStep(nn.Module):
             x = jnp.concatenate([x, speaker_embed.astype(dt)], axis=-1)
 
         gru_in = jnp.concatenate([x, carry.context], axis=-1)
-        attn_cell, gru_out = nn.GRUCell(
+        cell_cls = FusedGRUCell if cfg.fused_rnn else nn.GRUCell
+        attn_cell, gru_out = cell_cls(
             features=cfg.attention_state_size, dtype=self.dtype,
             name="attention_gru")(carry.attn_cell, gru_in)
 
@@ -161,7 +162,7 @@ class _ScanDecoderStep(nn.Module):
 
         new_dec_cells = []
         for i in range(cfg.dec_layer_num):
-            cell_state, out = nn.GRUCell(
+            cell_state, out = cell_cls(
                 features=cfg.dec_rnn_size, dtype=self.dtype,
                 name=f"decoder_gru_{i + 1}")(carry.dec_cells[i], h)
             h = h + out
@@ -254,6 +255,7 @@ class Tacotron(nn.Module):
             proj_width=cfg.enc_proj_width,
             dtype=dt,
             unroll=cfg.scan_unroll,
+            fused_rnn=cfg.fused_rnn,
             name="encoder_cbhg")(
                 prenet_out, input_lengths, train,
                 before_highway=before_highway,
@@ -298,6 +300,7 @@ class Tacotron(nn.Module):
             proj_width=cfg.post_proj_width,
             dtype=dt,
             unroll=cfg.scan_unroll,
+            fused_rnn=cfg.fused_rnn,
             name="post_cbhg")(mel_outputs, None, train)
 
         if speaker_embed is not None and cfg.model_type == "simple":

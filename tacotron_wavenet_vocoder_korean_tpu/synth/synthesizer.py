@@ -60,9 +60,14 @@ class Synthesizer:
 
     # ------------------------------------------------------------------
     def load(self, checkpoint_dir: str, num_speakers: Optional[int] = None,
-             step: Optional[int] = None) -> "Synthesizer":
+             step: Optional[int] = None,
+             fused_rnn: Optional[bool] = None) -> "Synthesizer":
         """Restore config + weights from a training run dir
-        (reference synthesizer.py:34-70)."""
+        (reference synthesizer.py:34-70).
+
+        ``fused_rnn=True`` loads into the fused-GRU fast-inference path even
+        if the checkpoint was trained with flax GRUCells — the params are
+        converted exactly (models.modules.fuse_gru_params)."""
         from ..train.tacotron_task import TacotronTask
 
         self.cfg = load_run_config(checkpoint_dir)
@@ -95,7 +100,17 @@ class Synthesizer:
         mgr = CheckpointManager(checkpoint_dir)
         restored = mgr.restore(jax.tree.map(np.asarray, state), step=step)
         mgr.close()
-        self.variables = {"params": restored.params,
+        params = restored.params
+        if fused_rnn and not self.cfg.tacotron.fused_rnn:
+            from ..models.modules import fuse_gru_params
+            import dataclasses as _dc
+            params = fuse_gru_params(params)
+            self.cfg = _dc.replace(
+                self.cfg,
+                tacotron=_dc.replace(self.cfg.tacotron, fused_rnn=True))
+            self.model = Tacotron(cfg=self.cfg.tacotron, audio=self.cfg.audio,
+                                  vocab_size=self.codec.vocab_size)
+        self.variables = {"params": params,
                           "batch_stats": restored.batch_stats}
         self.step = int(restored.step)
         return self
