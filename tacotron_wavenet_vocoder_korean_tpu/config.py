@@ -210,6 +210,12 @@ class TrainConfig:
     num_test_per_speaker: int = 2
     loss_explosion_threshold: float = 100.0
     store_metadata: bool = False      # opt-in profiler trace
+    # Elastic-recovery watchdog: if host RSS exceeds this, the train driver
+    # checkpoints and exec-restarts itself with --load_path (resumes at the
+    # same step; the persistent compile cache makes restarts cheap).  Needed
+    # because the tunneled TPU client retains a host copy of every
+    # host->device transfer (~batch_size MB leaked per step).  <=0 disables.
+    max_host_rss_gb: float = 60.0
 
 
 @dataclass(frozen=True)

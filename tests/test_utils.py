@@ -127,3 +127,42 @@ def test_optimizer_factory():
         assert np.isfinite(np.asarray(updates["w"])).all()
     with pytest.raises(KeyError):
         make_optimizer(overlay(Config(), wavenet={"optimizer": "lion"}))
+
+
+def test_watchdog_restart_argv(monkeypatch):
+    """restart_argv rewrites the CLI to resume the same run dir and drops
+    any prior --load_path/--initialize_path/--log_dir."""
+    import sys
+    from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+        restart_argv)
+    monkeypatch.setattr(sys, "argv", [
+        "train_tacotron.py", "--data_paths", "a,b",
+        "--initialize_path", "warm", "--log_dir=old", "--num_steps", "10"])
+    argv = restart_argv("logs/run1")
+    assert argv[0] == sys.executable
+    assert "--initialize_path" not in argv and "warm" not in argv
+    assert "old" not in argv
+    assert argv[-4:] == ["--log_dir", "logs/run1", "--load_path", "logs/run1"]
+    assert "--num_steps" in argv and "10" in argv
+
+
+def test_watchdog_noop_and_trigger(monkeypatch, tmp_path):
+    from tacotron_wavenet_vocoder_korean_tpu.train import watchdog
+
+    calls = []
+    monkeypatch.setattr(watchdog.os, "execv",
+                        lambda p, a: calls.append(("exec", p, a)))
+    # disabled
+    watchdog.maybe_exec_restart("d", 0, save_fn=lambda: calls.append("save"),
+                                log_fn=lambda m: None)
+    assert not calls
+    # under limit
+    monkeypatch.setattr(watchdog, "host_rss_gb", lambda: 1.0)
+    watchdog.maybe_exec_restart("d", 50, save_fn=lambda: calls.append("save"),
+                                log_fn=lambda m: None)
+    assert not calls
+    # over limit: saves THEN execs
+    monkeypatch.setattr(watchdog, "host_rss_gb", lambda: 99.0)
+    watchdog.maybe_exec_restart("d", 50, save_fn=lambda: calls.append("save"),
+                                log_fn=lambda m: None)
+    assert calls[0] == "save" and calls[1][0] == "exec"

@@ -30,6 +30,8 @@ from tacotron_wavenet_vocoder_korean_tpu.parallel import (
     make_mesh, shard_batch)
 from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
     maybe_trace_step)
+from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+    maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
     infolog_init, log, ValueWindow, plot)
 from tacotron_wavenet_vocoder_korean_tpu import dsp
@@ -82,6 +84,8 @@ def train(args):
         "batch_size": args.batch_size or cfg.tacotron.batch_size,
         **({"model_type": args.model_type} if args.model_type else {}),
     })
+    if args.max_host_rss_gb is not None:
+        cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
 
     log_dir = args.log_dir or os.path.join(
         "logs", datetime.now().strftime("tacotron_%Y-%m-%d_%H-%M-%S"))
@@ -154,6 +158,14 @@ def train(args):
                 log(f"Saving checkpoint at step {step}")
                 ckpt.save(step, state)
 
+            if step % 50 == 0:
+                # leaky-transfer watchdog (see train/watchdog.py docstring)
+                maybe_exec_restart(
+                    log_dir, cfg.train.max_host_rss_gb,
+                    save_fn=lambda: (ckpt.save(step, state), ckpt.close(),
+                                     feeder.stop()),
+                    log_fn=log)
+
             if step % cfg.train.test_interval == 0:
                 test_batch = batch_to_dict(next(test_iter))
                 eval_out = eval_fn(state, test_batch)
@@ -204,7 +216,15 @@ def main():
     p.add_argument("--use_mesh", action="store_true",
                    help="shard the batch over all visible devices")
     p.add_argument("--slack_url", default=None)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. 'cpu' for smoke runs; "
+                        "this image pins the TPU via sitecustomize, so an "
+                        "env var is not enough)")
+    p.add_argument("--max_host_rss_gb", type=float, default=None,
+                   help="override train.max_host_rss_gb watchdog limit")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.load_path and args.initialize_path:
         p.error("--load_path and --initialize_path are mutually exclusive")
     train(args)

@@ -27,6 +27,8 @@ from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
 from tacotron_wavenet_vocoder_korean_tpu.train import (
     CheckpointManager, prepare_run_dir, load_run_config, restore_into_state)
 from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
+from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+    maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
     maybe_trace_step)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
@@ -47,6 +49,8 @@ def train(args):
         overrides["sample_size"] = args.sample_size
     if overrides:
         cfg = overlay(cfg, wavenet=overrides)
+    if args.max_host_rss_gb is not None:
+        cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
 
     log_dir = args.log_dir or os.path.join("logs", "wavenet")
     prepare_run_dir(log_dir, cfg)
@@ -114,6 +118,14 @@ def train(args):
                 log(f"Saving checkpoint at step {step}")
                 ckpt.save(step, state)
 
+            if step % 50 == 0:
+                # leaky-transfer watchdog (see train/watchdog.py docstring)
+                maybe_exec_restart(
+                    log_dir, cfg.train.max_host_rss_gb,
+                    save_fn=lambda: (ckpt.save(step, state), ckpt.close(),
+                                     feeder.stop()),
+                    log_fn=log)
+
             if step >= cfg.wavenet.num_steps:
                 log(f"Reached num_steps={cfg.wavenet.num_steps}; done")
                 ckpt.save(step, state)
@@ -145,7 +157,13 @@ def main():
     p.add_argument("--sample_size", type=int, default=None)
     p.add_argument("--use_mesh", action="store_true")
     p.add_argument("--slack_url", default=None)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. 'cpu' for smoke runs)")
+    p.add_argument("--max_host_rss_gb", type=float, default=None,
+                   help="override train.max_host_rss_gb watchdog limit")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.load_path and args.initialize_path:
         p.error("--load_path and --initialize_path are mutually exclusive")
     train(args)
