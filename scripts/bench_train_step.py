@@ -31,13 +31,14 @@ def _sync(x):
     return float(jnp.sum(x[1]["loss"] if isinstance(x, tuple) else x))
 
 
-def _time_step(step, state, batch, rng, iters=12):
-    state, metrics = step(state, batch, rng)          # compile
+def _time_step(step, state, batch, rng=None, iters=12):
+    args = (state, batch) if rng is None else (state, batch, rng)
+    state, metrics = step(*args)                      # compile
     _sync((state, metrics))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, rng)
+        state, metrics = step(*((state,) + args[1:]))
         _sync((state, metrics))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), state
@@ -92,7 +93,7 @@ def bench_wavenet(variants, B=4, sample_size=9000, iters=12):
         task = WaveNetTask(cfg)
         state = task.init_state(key, batch)
         sec, _ = _time_step(task.jit_train_step(), state,
-                            wavenet_batch_to_dict(batch), key, iters)
+                            wavenet_batch_to_dict(batch), iters=iters)
         print(json.dumps({
             "bench": "wavenet_train_step", "variant": name,
             "batch_size": B, "sample_size": sample_size,
