@@ -87,11 +87,17 @@ def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
 
 
 def bench_tacotron(repeats: int = 3) -> dict:
+    import dataclasses
     from tacotron_wavenet_vocoder_korean_tpu.config import Config
     from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import Tacotron
 
     cfg = Config()
-    model = Tacotron(cfg=cfg.tacotron, audio=cfg.audio)
+    # fast-inference knobs: fused GRU kernels + unrolled decoder scan
+    # (outputs identical to the defaults; checkpoints convert exactly via
+    # models.modules.fuse_gru_params / Synthesizer.load(fused_rnn=True))
+    taco_cfg = dataclasses.replace(cfg.tacotron, fused_rnn=True,
+                                   scan_unroll=8)
+    model = Tacotron(cfg=taco_cfg, audio=cfg.audio)
     B, T_in, max_iters = 1, 96, 200
     rng = jax.random.PRNGKey(0)
     inputs = jnp.ones((B, T_in), jnp.int32)

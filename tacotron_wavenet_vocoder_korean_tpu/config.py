@@ -210,6 +210,18 @@ class TrainConfig:
     num_test_per_speaker: int = 2
     loss_explosion_threshold: float = 100.0
     store_metadata: bool = False      # opt-in profiler trace
+    # Keep the whole (bucketed, f16-spectrogram) training corpus resident on
+    # device and assemble batches with an on-device index gather — per-step
+    # host->device traffic becomes one [B] int32 vector.  Decisive on the
+    # tunneled chip (~30 MB/s transfer path); disable for corpora too big
+    # for HBM.  Single-device only (falls back to host batching on a mesh).
+    device_resident_data: bool = True
+    # Host->device transfer dtype for bulky spectrogram targets ('float16'
+    # or 'float32').  The tunneled chip's transfer path is the train-step
+    # bottleneck (~30 MB/s); f16 halves->quarters the bytes and the task
+    # upcasts to f32 on device (~1e-3 quantization, far below the L1 losses
+    # it feeds).  'float32' is exact.
+    transfer_dtype: str = "float16"
     # Elastic-recovery watchdog: if host RSS exceeds this, the train driver
     # checkpoints and exec-restarts itself with --load_path (resumes at the
     # same step; the persistent compile cache makes restarts cheap).  Needed

@@ -82,8 +82,17 @@ class TacotronBatcher:
                  data_type: str = "train", batch_size: Optional[int] = None,
                  batches_per_group: int = 32, apply_filter: bool = True,
                  token_bucket: int = 16, frame_bucket_iters: int = 10,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, device_store: bool = False):
+        """``device_store=True`` (train only) preloads the whole corpus ONCE
+        into device-resident arrays (spectrograms as f16) and yields batches
+        assembled ON DEVICE from a per-step index gather.  Steady-state
+        host->device traffic drops from ~50-130 MB/step (the tunneled chip
+        moves ~30 MB/s — the train-step bottleneck) to one [B] int32 vector.
+        Selection semantics (curriculum, shuffles, bucketing) are identical
+        to the host path — proven by test."""
         assert data_type in ("train", "test")
+        assert not (device_store and data_type == "test"), \
+            "device_store is for the train stream"
         self.cfg = cfg
         self.data_type = data_type
         self.batch_size = batch_size or cfg.tacotron.batch_size
@@ -100,7 +109,11 @@ class TacotronBatcher:
         self.is_multi_speaker = len(self.data_dirs) > 1
 
         self.path_dict: Dict[str, List[str]] = {}
-        n_test = self.batch_size
+        # Held-out examples per dir (reference keeps a small static test set;
+        # datafeeder_tacotron.py:162-174).  Using batch_size here would eat
+        # most of a small corpus — the test-mode iterator cycles the held-out
+        # set to fill a batch, so num_test_per_speaker is enough.
+        n_test = max(1, cfg.train.num_test_per_speaker)
         for d in self.data_dirs:
             paths = scan_npz_dir(d, cfg, apply_filter)
             if not paths:
@@ -125,7 +138,111 @@ class TacotronBatcher:
 
         self._offset = defaultdict(int)
 
+        self.device_store = device_store
+        if device_store:
+            self._build_store()
+
+    # ------------------------------------------------------------------
+    # Device-resident store
+    # ------------------------------------------------------------------
+    def _build_store(self) -> None:
+        """Load every example once, pad to global bucket ceilings, and move
+        the corpus to device (f16 spectrograms).  Per-dir index lists then
+        replace the path lists for iteration."""
+        records = []          # (tokens, coeff, mel, linear, sid, n_frames)
+        self.idx_dict: Dict[str, List[int]] = {}
+        for d in self.data_dirs:
+            idxs = []
+            for p in self.path_dict[d]:
+                try:
+                    with np.load(p) as f:
+                        rec = (np.asarray(f["tokens"], np.int32),
+                               float(f["loss_coeff"])
+                               if "loss_coeff" in f else 1.0,
+                               np.asarray(f["mel"], np.float16),
+                               np.asarray(f["linear"], np.float16),
+                               self.dir_to_id[d])
+                except Exception:
+                    continue      # corrupt npz: drop from the corpus
+                idxs.append(len(records))
+                records.append(rec + (rec[3].shape[0],))
+            if not idxs:
+                raise ValueError(f"no readable npz files in {d}")
+            self.idx_dict[d] = idxs
+
+        n = len(records)
+        t_max = round_up(max(len(r[0]) for r in records), self.token_bucket)
+        r_factor = self.cfg.tacotron.reduction_factor
+        f_max = round_up(max(r[-1] for r in records) + 1, r_factor)
+        f_max = round_up(f_max, self.frame_bucket)
+        num_mels = records[0][2].shape[1]
+        num_freq = records[0][3].shape[1]
+
+        inputs = np.full((n, t_max), PAD_VALUE, np.int32)
+        lengths = np.zeros(n, np.int32)
+        coeffs = np.zeros(n, np.float32)
+        mels = np.zeros((n, f_max, num_mels), np.float16)
+        linears = np.zeros((n, f_max, num_freq), np.float16)
+        speakers = np.zeros(n, np.int32)
+        self.store_meta = []                 # (n_tokens, n_frames) per idx
+        for i, (tok, coeff, mel, lin, sid, n_frame) in enumerate(records):
+            inputs[i, :len(tok)] = tok
+            lengths[i] = len(tok)
+            coeffs[i] = coeff
+            mels[i, :n_frame] = mel
+            linears[i, :n_frame] = lin
+            speakers[i] = sid
+            self.store_meta.append((len(tok), n_frame))
+
+        import jax.numpy as jnp
+        self.store = {
+            "inputs": jnp.asarray(inputs),
+            "input_lengths": jnp.asarray(lengths),
+            "loss_coeff": jnp.asarray(coeffs),
+            "mel_targets": jnp.asarray(mels),
+            "linear_targets": jnp.asarray(linears),
+            "speaker_id": jnp.asarray(speakers),
+        }
+        self.store_bytes = sum(a.size * a.dtype.itemsize
+                               for a in self.store.values())
+
+    def _assemble_device(self, idx: np.ndarray, max_tokens: int,
+                         max_frames: int):
+        """On-device batch assembly: gather rows, slice to the bucket shape.
+        Only ``idx`` ([B] int32) crosses the host->device link."""
+        import jax
+        import jax.numpy as jnp
+        if not hasattr(self, "_gather_fn"):
+            import functools
+
+            @functools.partial(jax.jit, static_argnums=(2, 3))
+            def _gather(store, idx, t_in, t_out):
+                return {
+                    "inputs": store["inputs"][idx, :t_in],
+                    "input_lengths": store["input_lengths"][idx],
+                    "loss_coeff": store["loss_coeff"][idx],
+                    "mel_targets": store["mel_targets"][idx, :t_out],
+                    "linear_targets": store["linear_targets"][idx, :t_out],
+                    "speaker_id": store["speaker_id"][idx],
+                }
+            self._gather_fn = _gather
+        return self._gather_fn(self.store, jnp.asarray(idx, jnp.int32),
+                               max_tokens, max_frames)
+
+    def _next_example_store(self, data_dir: str):
+        idxs = self.idx_dict[data_dir]
+        if self._offset[data_dir] >= len(idxs):
+            self._offset[data_dir] = 0
+            if self.data_type == "train":
+                self.rng.shuffle(idxs)
+        i = idxs[self._offset[data_dir]]
+        self._offset[data_dir] += 1
+        n_tokens, n_frames = self.store_meta[i]
+        return (i, n_tokens, n_frames)
+
     def _next_example(self, data_dir: str):
+        if self.device_store:
+            return self._next_example_store(data_dir)
         paths = self.path_dict[data_dir]
         for _ in range(len(paths)):
             if self._offset[data_dir] >= len(paths):
@@ -171,6 +288,14 @@ class TacotronBatcher:
         r = self.cfg.tacotron.reduction_factor
         if self.data_type == "train":
             self.rng.shuffle(batch)
+        if self.device_store:
+            # batch entries are (idx, n_tokens, n_frames); same bucket math
+            # as the host path below, then a device-side gather.
+            max_tokens = round_up(max(x[1] for x in batch), self.token_bucket)
+            max_frames = round_up(max(x[2] for x in batch) + 1, r)
+            max_frames = round_up(max_frames, self.frame_bucket)
+            idx = np.asarray([x[0] for x in batch], np.int32)
+            return self._assemble_device(idx, max_tokens, max_frames)
         max_tokens = round_up(max(len(x[0]) for x in batch), self.token_bucket)
         # +1 then round up to a bucketed multiple of r
         # (reference datafeeder_tacotron.py:297-300).

@@ -184,3 +184,70 @@ def test_batcher_skips_corrupt_npz(moon_subset, tmp_path):
                           batches_per_group=2, apply_filter=False)
     batch = next(iter(b))
     assert batch.inputs.shape[0] == 2
+
+
+def test_device_store_batches_match_host_path(moon_subset):
+    """device_store=True yields the same batch stream as the host path
+    (same seed): identical selection/bucketing, targets equal up to the f16
+    storage quantization."""
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, tacotron={
+        "min_iters": 1, "min_tokens": 5, "batch_size": 2})
+    host = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=2,
+                             batches_per_group=2, seed=7)
+    dev = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=2,
+                            batches_per_group=2, seed=7, device_store=True)
+    assert dev.store_bytes > 0
+    hit, dit = iter(host), iter(dev)
+    for _ in range(5):
+        hb = next(hit)
+        db = next(dit)                      # dict of device arrays
+        assert np.array_equal(np.asarray(db["inputs"]), hb.inputs)
+        assert np.array_equal(np.asarray(db["input_lengths"]),
+                              hb.input_lengths)
+        assert np.array_equal(np.asarray(db["speaker_id"]), hb.speaker_id)
+        assert db["mel_targets"].shape == hb.mel_targets.shape
+        assert db["linear_targets"].shape == hb.linear_targets.shape
+        # f16 storage: equal to host f32 within half-precision quantization
+        np.testing.assert_allclose(
+            np.asarray(db["linear_targets"], np.float32), hb.linear_targets,
+            atol=4e-3, rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(db["mel_targets"], np.float32), hb.mel_targets,
+            atol=4e-3, rtol=2e-3)
+
+
+def test_device_store_train_step(moon_subset):
+    """A jitted train step consumes device-store batches directly."""
+    import jax
+    from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+        TacotronTask)
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, tacotron={
+        "min_iters": 1, "min_tokens": 5, "batch_size": 2,
+        "enc_bank_size": 2, "enc_bank_channel_size": 16, "enc_rnn_size": 16,
+        "enc_prenet_sizes": (16,), "enc_proj_sizes": (16, 16),
+        "attention_size": 16, "attention_state_size": 16,
+        "dec_rnn_size": 16, "dec_prenet_sizes": (16,),
+        "post_bank_size": 2, "post_bank_channel_size": 16,
+        "post_rnn_size": 16, "post_proj_sizes": (16, 80),
+        "embedding_size": 16, "initial_phase_step": 0})
+    dev = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=2,
+                            batches_per_group=2, seed=7, device_store=True)
+    task = TacotronTask(cfg2, is_randomly_initialized=True)
+    it = iter(dev)
+    batch = next(it)
+    rng = jax.random.PRNGKey(0)
+
+    class _B:  # init_state expects attribute access
+        inputs = np.asarray(batch["inputs"])
+        input_lengths = np.asarray(batch["input_lengths"])
+        loss_coeff = np.asarray(batch["loss_coeff"])
+        mel_targets = np.asarray(batch["mel_targets"], np.float32)
+        linear_targets = np.asarray(batch["linear_targets"], np.float32)
+        speaker_id = np.asarray(batch["speaker_id"])
+
+    state = task.init_state(rng, _B)
+    step = task.jit_train_step()
+    state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))

@@ -468,3 +468,26 @@ def test_synthesizer_fused_load_matches_unfused(tmp_path):
     np.testing.assert_allclose(np.asarray(out_ref[0]["mel"]),
                                np.asarray(out_fused[0]["mel"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_float16_transfer_close_to_f32():
+    """transfer_dtype='float16' quantizes targets by ~1e-3 (in [-4,4]);
+    the train step upcasts on device and losses stay close to exact f32."""
+    cfg = Config(tacotron=tiny_cfg(initial_phase_step=0))
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    raw = make_batch()
+    tb = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.asarray(raw["loss_coeff"]),
+        mel_targets=np.asarray(raw["mel_targets"]),
+        linear_targets=np.asarray(raw["linear_targets"]),
+        speaker_id=np.asarray(raw["speaker_id"]))
+    step = task.jit_train_step()
+    b32 = batch_to_dict(tb)                      # exact
+    b16 = batch_to_dict(tb, "float16")           # quantized transfer
+    assert b16["linear_targets"].dtype == jnp.float16
+    # jit_train_step donates the state: one fresh state per call
+    _, m32 = step(task.init_state(RNG, tb), b32, RNG)
+    _, m16 = step(task.init_state(RNG, tb), b16, RNG)
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 5e-3

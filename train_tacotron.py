@@ -98,8 +98,13 @@ def train(args):
     if mesh is not None:
         log(f"mesh: {mesh.devices.shape} over {mesh.axis_names}")
 
+    use_store = cfg.train.device_resident_data and mesh is None
     train_batcher = TacotronBatcher(args.data_paths, cfg, "train",
-                                    apply_filter=not args.skip_path_filter)
+                                    apply_filter=not args.skip_path_filter,
+                                    device_store=use_store)
+    if use_store:
+        log(f"device-resident corpus store: "
+            f"{train_batcher.store_bytes / 1e6:.0f} MB on device")
     test_batcher = TacotronBatcher(args.data_paths, cfg, "test",
                                    apply_filter=not args.skip_path_filter)
 
@@ -125,8 +130,13 @@ def train(args):
     step_fn = task.jit_train_step(mesh)
     eval_fn = task.jit_eval_step()
 
-    put = (lambda b: shard_batch(mesh, batch_to_dict(b))) if mesh \
-        else (lambda b: batch_to_dict(b))
+    tdt = cfg.train.transfer_dtype
+    if use_store:
+        put = lambda b: b          # batches are already device dicts
+    elif mesh:
+        put = lambda b: shard_batch(mesh, batch_to_dict(b, tdt))
+    else:
+        put = lambda b: batch_to_dict(b, tdt)
     feeder = DevicePrefetcher(train_batcher, put_fn=put)
     test_iter = iter(test_batcher)
 
