@@ -349,7 +349,13 @@ class WaveNetBatcher:
 
     def __init__(self, data_dirs: Sequence[str], cfg: Config,
                  batch_size: Optional[int] = None, gc_enable: bool = False,
-                 seed: Optional[int] = None, batches_per_group: int = 32):
+                 seed: Optional[int] = None, batches_per_group: int = 32,
+                 device_store: bool = False):
+        """``device_store=True`` keeps every (padded) clip resident on device
+        and takes the random hop-aligned crops with on-device dynamic slices;
+        per-step host->device traffic is two [B] int32 vectors (clip index +
+        frame offset) instead of ~0.5 MB of audio+mel.  Crop selection is
+        identical to the host path (same rng stream) — proven by test."""
         self.cfg = cfg
         self.batch_size = batch_size or cfg.wavenet.batch_size
         self.gc_enable = gc_enable
@@ -385,13 +391,78 @@ class WaveNetBatcher:
             self.path_dict[d] = paths
         self._offset = defaultdict(int)
 
+        self.device_store = device_store
+        if device_store:
+            self._build_store()
+
+    # ------------------------------------------------------------------
+    # Device-resident store (full clips on device; crops via dynamic_slice)
+    # ------------------------------------------------------------------
+    def _build_store(self) -> None:
+        records = []                        # (audio [L,1], mel [F,80], sid)
+        self.idx_dict: Dict[str, List[int]] = {}
+        for d in self.data_dirs:
+            idxs = []
+            for p in self.path_dict[d]:
+                with np.load(p) as f:
+                    audio = np.asarray(f["audio"], np.float32).reshape(-1, 1)
+                    mel = np.asarray(f["mel"], np.float16)
+                assert len(audio) == len(mel) * self.hop_size
+                idxs.append(len(records))
+                records.append((audio, mel, self.dir_to_id[d]))
+            self.idx_dict[d] = idxs
+
+        n = len(records)
+        f_max = max(r[1].shape[0] for r in records)
+        num_mels = records[0][1].shape[1]
+        audio_arr = np.zeros((n, f_max * self.hop_size, 1), np.float32)
+        mel_arr = np.zeros((n, f_max, num_mels), np.float16)
+        self.store_frames = np.zeros(n, np.int64)
+        sids = np.zeros(n, np.int32)
+        for i, (audio, mel, sid) in enumerate(records):
+            audio_arr[i, :len(audio)] = audio
+            mel_arr[i, :len(mel)] = mel
+            self.store_frames[i] = len(mel)
+            sids[i] = sid
+
+        import jax
+        import jax.numpy as jnp
+        self._store_audio = jnp.asarray(audio_arr)
+        self._store_mel = jnp.asarray(mel_arr)
+        self._store_sid = jnp.asarray(sids)
+        self.store_bytes = sum(
+            a.size * a.dtype.itemsize
+            for a in (self._store_audio, self._store_mel, self._store_sid))
+
+        hop, sample_size, max_frames = \
+            self.hop_size, self.sample_size, self.max_frames
+
+        @jax.jit
+        def _gather(audio_s, mel_s, sid_s, idx, frame_off):
+            def one(i, s):
+                a = jax.lax.dynamic_slice(
+                    audio_s[i], (s * hop, 0), (sample_size, 1))
+                m = jax.lax.dynamic_slice(
+                    mel_s[i], (s, 0), (max_frames, mel_s.shape[-1]))
+                return a, m
+            a, m = jax.vmap(one)(idx, frame_off)
+            return {"input_wav": a,
+                    "local_condition": m.astype(jnp.float32),
+                    "speaker_id": sid_s[idx]}
+        self._gather_fn = _gather
+
     def _next_example(self, data_dir: str):
-        paths = self.path_dict[data_dir]
+        paths = (self.idx_dict[data_dir] if self.device_store
+                 else self.path_dict[data_dir])
         if self._offset[data_dir] >= len(paths):
             self._offset[data_dir] = 0
             self.rng.shuffle(paths)
         p = paths[self._offset[data_dir]]
         self._offset[data_dir] += 1
+        if self.device_store:
+            n_frames = int(self.store_frames[p])
+            s = self.rng.randint(0, n_frames - self.max_frames + 1)
+            return (p, s)
         with np.load(p) as d:
             audio = np.asarray(d["audio"], dtype=np.float32).reshape(-1, 1)
             mel = np.asarray(d["mel"], dtype=np.float32)
@@ -404,6 +475,7 @@ class WaveNetBatcher:
                 self.dir_to_id[data_dir])
 
     def __iter__(self) -> Iterator[WaveNetBatch]:
+        import jax.numpy as jnp
         n = self.batch_size
         while True:
             examples = []
@@ -413,6 +485,12 @@ class WaveNetBatcher:
             self.rng.shuffle(examples)
             for i in range(0, len(examples) - n + 1, n):
                 batch = examples[i:i + n]
+                if self.device_store:
+                    yield self._gather_fn(
+                        self._store_audio, self._store_mel, self._store_sid,
+                        jnp.asarray([b[0] for b in batch], jnp.int32),
+                        jnp.asarray([b[1] for b in batch], jnp.int32))
+                    continue
                 yield WaveNetBatch(
                     input_wav=np.stack([b[0] for b in batch]),
                     local_condition=np.stack([b[1] for b in batch]),

@@ -56,10 +56,13 @@ class WaveNetTask:
             cfg.wavenet.decay_rate)
 
     def init_state(self, rng: jax.Array, example_batch) -> WaveNetTrainState:
-        sid = jnp.asarray(example_batch.speaker_id) if self.gc_enable else None
+        # accept either a WaveNetBatch or a batch dict (device store path)
+        get = (example_batch.__getitem__ if isinstance(example_batch, dict)
+               else lambda k: getattr(example_batch, k))
+        sid = jnp.asarray(get("speaker_id")) if self.gc_enable else None
         variables = self.model.init(
-            rng, jnp.asarray(example_batch.input_wav),
-            jnp.asarray(example_batch.local_condition), sid)
+            rng, jnp.asarray(get("input_wav")),
+            jnp.asarray(get("local_condition")), sid)
         params = variables["params"]
         return WaveNetTrainState(
             step=jnp.zeros((), jnp.int32),

@@ -251,3 +251,48 @@ def test_device_store_train_step(moon_subset):
     step = task.jit_train_step()
     state, metrics = step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_wavenet_device_store_matches_host_path(moon_subset):
+    """WaveNetBatcher(device_store=True) picks the same clips/crops as the
+    host path (same seed); audio crops are bit-exact, mel within f16."""
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, wavenet={
+        "sample_size": 9000, "dilations": [1, 2, 4, 8, 16, 32, 64, 128] * 2,
+        "initial_filter_width": 32})
+    host = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, gc_enable=True,
+                            seed=11)
+    dev = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, gc_enable=True,
+                           seed=11, device_store=True)
+    assert dev.store_bytes > 0
+    hit, dit = iter(host), iter(dev)
+    for _ in range(4):
+        hb = next(hit)
+        db = next(dit)
+        np.testing.assert_array_equal(np.asarray(db["input_wav"]),
+                                      hb.input_wav)
+        np.testing.assert_array_equal(np.asarray(db["speaker_id"]),
+                                      hb.speaker_id)
+        np.testing.assert_allclose(np.asarray(db["local_condition"]),
+                                   hb.local_condition, atol=4e-3, rtol=2e-3)
+
+
+def test_wavenet_device_store_train_step(moon_subset):
+    """A jitted WaveNet train step consumes device-store batches directly."""
+    import jax
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask)
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, wavenet={
+        "sample_size": 3000, "dilations": [1, 2, 4, 8] * 2,
+        "residual_channels": 4, "dilation_channels": 4, "skip_channels": 8,
+        "initial_filter_width": 8})
+    dev = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, seed=11,
+                           device_store=True)
+    task = WaveNetTask(cfg2)
+    batch = next(iter(dev))
+    rng = jax.random.PRNGKey(0)
+    state = task.init_state(rng, batch)
+    step = task.jit_train_step()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

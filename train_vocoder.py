@@ -59,7 +59,12 @@ def train(args):
     log(debug_string(cfg))
 
     mesh = make_mesh() if args.use_mesh else None
-    batcher = WaveNetBatcher(args.data_dir, cfg, gc_enable=gc_enable)
+    use_store = cfg.train.device_resident_data and mesh is None
+    batcher = WaveNetBatcher(args.data_dir, cfg, gc_enable=gc_enable,
+                             device_store=use_store)
+    if use_store:
+        log(f"device-resident clip store: "
+            f"{batcher.store_bytes / 1e6:.0f} MB on device")
     task = WaveNetTask(cfg, gc_enable=gc_enable)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
 
@@ -81,8 +86,12 @@ def train(args):
     metrics_f = open(metrics_path, "a", encoding="utf-8")
 
     step_fn = task.jit_train_step(mesh)
-    put = (lambda b: shard_batch(mesh, wavenet_batch_to_dict(b))) if mesh \
-        else (lambda b: wavenet_batch_to_dict(b))
+    if use_store:
+        put = lambda b: b          # batches are already device dicts
+    elif mesh:
+        put = lambda b: shard_batch(mesh, wavenet_batch_to_dict(b))
+    else:
+        put = lambda b: wavenet_batch_to_dict(b)
     feeder = DevicePrefetcher(batcher, put_fn=put)
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
