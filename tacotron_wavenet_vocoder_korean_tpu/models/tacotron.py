@@ -272,8 +272,14 @@ class Tacotron(nn.Module):
         num_mels = self.audio.num_mels
         if mel_targets is not None:
             max_steps = mel_targets.shape[1] // r
-            # Feed every r-th target frame (helpers.py:55).
-            teacher = jnp.transpose(mel_targets[:, r - 1::r, :], (1, 0, 2))
+            # Teacher forcing feeds every r-th target frame as the NEXT
+            # step's input (helpers.py:36-47,55): step 0 gets the <GO> zero
+            # frame and step t gets block t-1's last frame.  Feeding block
+            # t's own last frame at step t would leak the current target
+            # (the model learns to copy it; free-run then collapses).
+            block_last = jnp.transpose(mel_targets[:, r - 1::r, :], (1, 0, 2))
+            teacher = jnp.concatenate(
+                [jnp.zeros_like(block_last[:1]), block_last[:-1]], axis=0)
         else:
             max_steps = max_iters or cfg.max_iters
             teacher = None

@@ -50,7 +50,9 @@ class WaveNetGenerator:
         mgr = CheckpointManager(checkpoint_dir)
         restored = mgr.restore(jax.tree.map(np.asarray, state), step=step)
         mgr.close()
-        self.params = restored.ema_params if use_ema else restored.params
+        from ..utils.misc import packed_device_put
+        self.params = packed_device_put(
+            restored.ema_params if use_ema else restored.params)
         self.gc_enable = gc_enable
         self.step = int(restored.step)
         return self

@@ -110,8 +110,9 @@ class Synthesizer:
                 tacotron=_dc.replace(self.cfg.tacotron, fused_rnn=True))
             self.model = Tacotron(cfg=self.cfg.tacotron, audio=self.cfg.audio,
                                   vocab_size=self.codec.vocab_size)
-        self.variables = {"params": params,
-                          "batch_stats": restored.batch_stats}
+        from ..utils.misc import packed_device_put
+        self.variables = packed_device_put(
+            {"params": params, "batch_stats": restored.batch_stats})
         self.step = int(restored.step)
         return self
 

@@ -69,3 +69,41 @@ def enable_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs
+
+
+def packed_device_put(tree):
+    """Transfer a host pytree to device in O(#dtypes) bulk transfers instead
+    of O(#leaves) individual ones.
+
+    The tunneled TPU client pays ~1 s of round-trip latency per transfer, so
+    moving a ~700-leaf train state leaf-by-leaf (what a naive device_put or
+    first jit dispatch does) costs ~10 minutes.  Packing all same-dtype
+    leaves into one flat buffer, transferring once, and slicing them apart
+    in a single compiled program makes restore take seconds.  Shapes/dtypes
+    are preserved exactly."""
+    import jax
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [None] * len(leaves)
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        groups.setdefault(arr.dtype.str, []).append((i, arr))
+
+    for _, items in groups.items():
+        flat = np.concatenate([a.ravel() for _, a in items]) \
+            if len(items) > 1 else items[0][1].ravel()
+        shapes = tuple(a.shape for _, a in items)
+        sizes = tuple(int(a.size) for _, a in items)
+
+        def unpack(buf, shapes=shapes, sizes=sizes):
+            outs, off = [], 0
+            for shp, sz in zip(shapes, sizes):
+                outs.append(buf[off:off + sz].reshape(shp))
+                off += sz
+            return outs
+        parts = jax.jit(unpack)(jax.device_put(flat))
+        for (i, _), dev in zip(items, parts):
+            out[i] = dev
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -491,3 +491,37 @@ def test_float16_transfer_close_to_f32():
     _, m32 = step(task.init_state(RNG, tb), b32, RNG)
     _, m16 = step(task.init_state(RNG, tb), b16, RNG)
     assert abs(float(m16["loss"]) - float(m32["loss"])) < 5e-3
+
+
+def test_teacher_forcing_is_causal():
+    """Block t's output must not depend on block t's own target frames —
+    teacher forcing feeds block t-1's LAST frame at step t (<GO> at step 0,
+    reference helpers.py:36-47).  Perturbing block t's last target frame may
+    only affect outputs of blocks > t."""
+    cfg = tiny_cfg(dropout_prob=0.0)     # deterministic
+    batch = make_batch()                 # T_out=20, r=5 -> 4 blocks
+    r = cfg.reduction_factor
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+    v = {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}
+
+    def run(mel_t):
+        out = model.apply(v, batch["inputs"], batch["input_lengths"],
+                          speaker_id=batch["speaker_id"], mel_targets=mel_t,
+                          train=False)
+        return np.asarray(out["mel_outputs"])
+
+    base = run(batch["mel_targets"])
+    perturbed = np.asarray(batch["mel_targets"]).copy()
+    t_block = 1
+    perturbed[:, t_block * r + r - 1, :] += 10.0   # block 1's last frame
+    got = run(jnp.asarray(perturbed))
+    # blocks 0 and 1 (frames < 2r) must be unchanged
+    np.testing.assert_allclose(got[:, :2 * r], base[:, :2 * r],
+                               rtol=1e-5, atol=1e-5)
+    # the perturbation must reach later blocks (teacher input at step 2)
+    assert np.abs(got[:, 2 * r:] - base[:, 2 * r:]).max() > 1e-3

@@ -166,3 +166,28 @@ def test_watchdog_noop_and_trigger(monkeypatch, tmp_path):
     watchdog.maybe_exec_restart("d", 50, save_fn=lambda: calls.append("save"),
                                 log_fn=lambda m: None)
     assert calls[0] == "save" and calls[1][0] == "exec"
+
+
+def test_packed_device_put_exact():
+    """packed_device_put preserves every leaf's shape/dtype/values across a
+    mixed-dtype pytree."""
+    import jax
+    import numpy as np
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        packed_device_put)
+    rng = np.random.RandomState(0)
+    tree = {
+        "a": rng.randn(3, 5).astype(np.float32),
+        "b": {"c": rng.randn(7).astype(np.float32),
+              "d": np.arange(4, dtype=np.int32),
+              "e": rng.randn(2, 2, 2).astype(np.float16)},
+        "f": np.asarray(3, np.int32),           # scalar
+        "g": rng.randn(1, 1).astype(np.float32),
+    }
+    out = packed_device_put(tree)
+    flat_in, _ = jax.tree_util.tree_flatten(tree)
+    flat_out, _ = jax.tree_util.tree_flatten(out)
+    assert len(flat_in) == len(flat_out)
+    for a, b in zip(flat_in, flat_out):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(b), a)
