@@ -237,7 +237,17 @@ class Synthesizer:
                     align_i, int(lengths[idx]), r))
             lin_i, mel_i = lin_i[:n_keep], mel_i[:n_keep]
 
-            wav = np.asarray(dsp.inv_linear_spectrogram(lin_i.T, cfg.audio))
+            # Pad the trimmed spectrogram to a coarse frame bucket before
+            # Griffin-Lim so the jitted inversion compiles once per bucket
+            # instead of once per utterance length (compiles over the
+            # tunneled chip take minutes); silence-pad, then cut the wav.
+            bucket = round_up(max(n_keep, 1), 100)      # 1.25 s buckets
+            pad_val = (-cfg.audio.max_abs_value
+                       if cfg.audio.symmetric_mels else 0.0)
+            lin_pad = np.pad(lin_i, ((0, bucket - n_keep), (0, 0)),
+                             constant_values=pad_val)
+            wav = np.asarray(dsp.inv_linear_spectrogram(lin_pad.T, cfg.audio))
+            wav = wav[:n_keep * cfg.audio.hop_size]
             entry = {"wav": wav, "mel": mel_i, "alignment": align_i,
                      "text": text}
             if base_path:
