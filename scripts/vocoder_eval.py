@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""WaveNet vocoder quality evaluation: MCD of vocoded speech vs real speech.
+
+For sampled corpus utterances, vocode the GROUND-TRUTH mel with the trained
+WaveNet (EMA params, on-device generation) and score DTW-MCD against the
+real audio; the Griffin-Lim-on-real-linear oracle is reported for context
+(reference's baseline vocoder).  Prints one JSON line.
+
+Usage:
+  python scripts/vocoder_eval.py --wavenet logs/wn_moon \
+      --data workdir/moon/data [--n 3] [--out_dir DIR]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--wavenet", required=True, help="wavenet run dir")
+    p.add_argument("--data", required=True, help="preprocessed npz dir")
+    p.add_argument("--n", type=int, default=3)
+    p.add_argument("--max_frames", type=int, default=240,
+                   help="cap mel length per utterance (3 s default)")
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        enable_compilation_cache)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.metrics import mcd
+    from tacotron_wavenet_vocoder_korean_tpu.synth import WaveNetGenerator
+    from tacotron_wavenet_vocoder_korean_tpu import dsp
+
+    enable_compilation_cache()
+    gen = WaveNetGenerator().load(args.wavenet)
+    cfg = gen.cfg
+    hop = cfg.audio.hop_size
+
+    paths = sorted(glob.glob(os.path.join(args.data, "*.npz")))
+    paths = paths[:: max(1, len(paths) // args.n)][:args.n]
+
+    pad_val = (-cfg.audio.max_abs_value if cfg.audio.symmetric_mels else 0.0)
+    wn_scores, gl_scores, rtfs = [], [], []
+    for path in paths:
+        with np.load(path) as d:
+            real = np.asarray(d["audio"], np.float32)
+            mel = np.asarray(d["mel"], np.float32)
+            linear = np.asarray(d["linear"], np.float32)
+        n_frames = min(len(mel), args.max_frames)
+        mel, linear = mel[:n_frames], linear[:, :][:n_frames]
+        real_cut = real[:n_frames * hop]
+
+        # pad every mel to the SAME length so the generation kernel
+        # compiles once (per-shape compiles over the tunnel take minutes);
+        # the padded tail is silence, cut from the waveform below
+        mel_pad = np.pad(mel, ((0, args.max_frames - n_frames), (0, 0)),
+                         constant_values=pad_val)
+        t0 = time.time()
+        wav = gen.generate(mel_pad)[:n_frames * hop]
+        dt = time.time() - t0
+        rtfs.append(len(wav) / dt / cfg.audio.sample_rate)
+        wn_scores.append(mcd(wav, real_cut, cfg.audio))
+        gl = np.asarray(dsp.inv_linear_spectrogram(linear.T, cfg.audio))
+        gl_scores.append(mcd(gl, real_cut, cfg.audio))
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            base = os.path.splitext(os.path.basename(path))[0]
+            dsp.save_wav(wav, os.path.join(args.out_dir, base + ".wn.wav"),
+                         cfg.audio.sample_rate)
+
+    print(json.dumps({
+        "metric": "vocoder_mcd_db",
+        "n_utterances": len(paths),
+        "wavenet_mcd_db": round(float(np.mean(wn_scores)), 2),
+        "gl_oracle_mcd_db": round(float(np.mean(gl_scores)), 2),
+        "checkpoint_step": gen.step,
+        # median: the first call pays the (cached-thereafter) compile
+        "gen_realtime_factor": round(float(np.median(rtfs)), 2),
+        "per_utt_wavenet": [round(s, 2) for s in wn_scores],
+        "per_utt_gl": [round(s, 2) for s in gl_scores],
+    }))
+
+
+if __name__ == "__main__":
+    main()
