@@ -304,7 +304,7 @@ def extract_features(wav: np.ndarray, cfg: AudioConfig,
 
 
 _COMPILED_BUCKETS: set = set()
-_COMPILE_LOCK = __import__("threading").Lock()
+from ..utils.compile_lock import COMPILE_LOCK as _COMPILE_LOCK  # noqa: E402
 
 
 @functools.lru_cache(maxsize=8)

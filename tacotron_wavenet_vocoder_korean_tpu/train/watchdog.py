@@ -17,12 +17,31 @@ import sys
 from typing import Callable, List
 
 
+_warned_no_psutil = False
+
+
 def host_rss_gb() -> float:
+    """Resident set size of this process in GB.  Prefers psutil; falls back
+    to /proc/self/status VmRSS so the watchdog (which long runs depend on to
+    dodge the leak-driven OOM kill) never silently disables itself."""
     try:
         import psutil
         return psutil.Process().memory_info().rss / 1e9
     except Exception:
-        return 0.0
+        pass
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) * 1024 / 1e9  # kB -> GB
+    except Exception:
+        pass
+    global _warned_no_psutil
+    if not _warned_no_psutil:
+        _warned_no_psutil = True
+        print("WARNING: watchdog cannot read host RSS (no psutil, no "
+              "/proc/self/status) — RSS watchdog is DISABLED", file=sys.stderr)
+    return 0.0
 
 
 def restart_argv(log_dir: str) -> List[str]:
