@@ -100,6 +100,13 @@ class TacotronConfig:
     dec_layer_num: int = 2
     dec_rnn_size: int = 256
     dec_prenet_sizes: Tuple[int, ...] = (256, 128)
+    # Reference tacotron.py:41 keeps decoder-prenet dropout LIVE in test mode
+    # (keithito-lineage Tacotron trait: inference-time prenet dropout adds
+    # variation the autoregressive decoder was trained against).  True matches
+    # the reference; inference callers must supply a 'dropout' rng to opt in
+    # (apply() without one stays deterministic, so tests/exactness paths are
+    # unaffected).  See docs/ROUND2.md for the A/B MCD measurement.
+    dec_prenet_dropout_inference: bool = True
 
     # Post-net CBHG
     post_bank_size: int = 8

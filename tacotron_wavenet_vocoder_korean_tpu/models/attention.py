@@ -202,6 +202,13 @@ class LuongAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, state, keys, values, mask):
+        # TF's LuongAttention requires query depth == num_units and errors
+        # otherwise (the reference only runs it because attention_size ==
+        # decoder size); we instead project the query so every config is
+        # safe.  Identity-free when dims already match.
+        if query.shape[-1] != keys.shape[-1]:
+            query = nn.Dense(keys.shape[-1], use_bias=False,
+                             name="luong_query_projection")(query)
         s = jnp.einsum("bu,btu->bt", query, keys)
         if self.scale:
             g = self.param("attention_g", nn.initializers.ones, ())
@@ -230,9 +237,3 @@ def make_attention(attention_type: str, num_units: int) -> nn.Module:
         raise KeyError(f"unknown attention type {attention_type!r}; "
                        f"have {sorted(table)}")
     return table[attention_type]()
-
-
-# Mechanisms whose keys are the raw num_units memory projection;
-# Luong needs keys of query dimension, others use memory_layer(num_units).
-USES_MEMORY_LAYER = ("bah", "bah_norm", "bah_mon", "bah_mon_norm",
-                     "bah_mon_norm_hccho", "loc_sen", "luong", "luong_scaled")

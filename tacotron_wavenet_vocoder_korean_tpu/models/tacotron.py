@@ -198,6 +198,12 @@ class Tacotron(nn.Module):
         cfg = self.cfg
         B, T_in = inputs.shape
         deterministic = not train
+        # Decoder-prenet dropout stays live at inference when the config asks
+        # for it AND the caller supplied a 'dropout' rng (reference
+        # tacotron.py:41 semantics); without an rng we fall back to
+        # deterministic so exactness tests and rng-less callers still work.
+        dec_deterministic = deterministic and not (
+            cfg.dec_prenet_dropout_inference and self.has_rng("dropout"))
         # Mixed precision (cfg.compute_dtype): modules compute in bf16 with
         # f32 params; attention math and returned outputs stay f32.
         dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
@@ -293,7 +299,7 @@ class Tacotron(nn.Module):
             cfg=cfg, num_mels=num_mels, dtype=dt, name="decoder")(
                 keys, values, mask, max_steps, teacher, manual_t,
                 is_manual_attention, speaker_embed, decoder_init_states,
-                free_run, deterministic)
+                free_run, dec_deterministic)
 
         # --- Post-net CBHG -> linear spectrogram (tacotron.py:206-219)
         post_out = CBHG(

@@ -61,13 +61,18 @@ class Synthesizer:
     # ------------------------------------------------------------------
     def load(self, checkpoint_dir: str, num_speakers: Optional[int] = None,
              step: Optional[int] = None,
-             fused_rnn: Optional[bool] = None) -> "Synthesizer":
+             fused_rnn: Optional[bool] = None,
+             inference_dropout: Optional[bool] = None) -> "Synthesizer":
         """Restore config + weights from a training run dir
         (reference synthesizer.py:34-70).
 
         ``fused_rnn=True`` loads into the fused-GRU fast-inference path even
         if the checkpoint was trained with flax GRUCells — the params are
-        converted exactly (models.modules.fuse_gru_params)."""
+        converted exactly (models.modules.fuse_gru_params).
+
+        ``inference_dropout`` overrides ``tacotron.dec_prenet_dropout_inference``
+        (reference tacotron.py:41 keeps decoder-prenet dropout live in test
+        mode); when enabled, decoding is seeded by ``synthesize(rng_seed=)``."""
         from ..train.tacotron_task import TacotronTask
 
         self.cfg = load_run_config(checkpoint_dir)
@@ -114,6 +119,9 @@ class Synthesizer:
         self.variables = packed_device_put(
             {"params": params, "batch_stats": restored.batch_stats})
         self.step = int(restored.step)
+        self.inference_dropout = (
+            self.cfg.tacotron.dec_prenet_dropout_inference
+            if inference_dropout is None else inference_dropout)
         return self
 
     # ------------------------------------------------------------------
@@ -122,15 +130,18 @@ class Synthesizer:
         """Jitted free-run decode; params passed as arguments (not baked-in
         constants), so reloads don't retrace."""
         model = self.model
+        use_dropout = self.inference_dropout
 
         @functools.partial(jax.jit, static_argnames=("max_iters",))
         def decode(variables, inputs, input_lengths, speaker_id,
-                   manual_alignments, is_manual, max_iters):
+                   manual_alignments, is_manual, rng, max_iters):
+            rngs = {"dropout": rng} if use_dropout else None
             out = model.apply(
                 variables, inputs, input_lengths, speaker_id=speaker_id,
                 manual_alignments=manual_alignments,
                 is_manual_attention=is_manual,
-                train=False, free_run=True, max_iters=max_iters)
+                train=False, free_run=True, max_iters=max_iters,
+                rngs=rngs)
             return out["linear_outputs"], out["alignments"], out["mel_outputs"]
 
         return decode
@@ -184,11 +195,14 @@ class Synthesizer:
                    manual_attention_mode: int = 0,
                    max_iters: Optional[int] = None,
                    save_alignment: bool = True,
-                   save_mel: bool = True) -> List[dict]:
+                   save_mel: bool = True,
+                   rng_seed: int = 0) -> List[dict]:
         """Synthesize each text; returns a list of dicts with wav/mel/paths.
 
         ``manual_attention_mode``: 0 off, 1 argmax one-hot, 2 sharpen (square),
-        3 prune (reference synthesizer.py:165-198).
+        3 prune (reference synthesizer.py:165-198).  ``rng_seed`` seeds the
+        inference-time decoder-prenet dropout (no-op when
+        ``inference_dropout`` is off) — same seed, same audio.
         """
         if isinstance(texts, str):
             texts = [texts]
@@ -201,11 +215,12 @@ class Synthesizer:
         speaker_ids = np.asarray(speaker_ids, np.int32)
         max_iters = max_iters or cfg.tacotron.max_iters
 
+        rng = jax.random.PRNGKey(rng_seed)
         zero_manual = jnp.zeros((B, max_iters, T_in))
         linear, align, mel = self._decode(
             self.variables, jnp.asarray(inputs), jnp.asarray(lengths),
             jnp.asarray(speaker_ids), zero_manual, jnp.asarray(False),
-            max_iters)
+            rng, max_iters)
 
         if manual_attention_mode > 0:
             a = np.asarray(align)                      # [B, T_in, T_dec]
@@ -222,7 +237,7 @@ class Synthesizer:
             linear, align, mel = self._decode(
                 self.variables, jnp.asarray(inputs), jnp.asarray(lengths),
                 jnp.asarray(speaker_ids), jnp.asarray(new_manual),
-                jnp.asarray(True), max_iters)
+                jnp.asarray(True), rng, max_iters)
 
         linear = np.asarray(linear)
         align = np.asarray(align)
