@@ -82,7 +82,8 @@ class TacotronBatcher:
                  data_type: str = "train", batch_size: Optional[int] = None,
                  batches_per_group: int = 32, apply_filter: bool = True,
                  token_bucket: int = 16, frame_bucket_iters: int = 10,
-                 seed: Optional[int] = None, device_store: bool = False):
+                 seed: Optional[int] = None, device_store: bool = False,
+                 mesh=None):
         """``device_store=True`` (train only) preloads the whole corpus ONCE
         into device-resident arrays (spectrograms as f16) and yields batches
         assembled ON DEVICE from a per-step index gather.  Steady-state
@@ -139,6 +140,7 @@ class TacotronBatcher:
         self._offset = defaultdict(int)
 
         self.device_store = device_store
+        self.mesh = mesh
         if device_store:
             self._build_store()
 
@@ -195,27 +197,52 @@ class TacotronBatcher:
             self.store_meta.append((len(tok), n_frame))
 
         import jax.numpy as jnp
-        self.store = {
-            "inputs": jnp.asarray(inputs),
-            "input_lengths": jnp.asarray(lengths),
-            "loss_coeff": jnp.asarray(coeffs),
-            "mel_targets": jnp.asarray(mels),
-            "linear_targets": jnp.asarray(linears),
-            "speaker_id": jnp.asarray(speakers),
+        host_store = {
+            "inputs": inputs,
+            "input_lengths": lengths,
+            "loss_coeff": coeffs,
+            "mel_targets": mels,
+            "linear_targets": linears,
+            "speaker_id": speakers,
         }
+        self.store = {k: self._put_store(v) for k, v in host_store.items()}
         self.store_bytes = sum(a.size * a.dtype.itemsize
                                for a in self.store.values())
+
+    def _put_store(self, arr: np.ndarray):
+        """Move one store array to device.  Under a mesh the example dim is
+        SHARDED over the data axis (each device holds 1/N of the corpus;
+        batch gathers become XLA collectives over ICI) instead of replicating
+        the corpus N times — the reason `--use_mesh` used to fall back to the
+        slow host-transfer path."""
+        import jax
+        import jax.numpy as jnp
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        n_shard = self.mesh.shape[DATA_AXIS]
+        pad = (-arr.shape[0]) % n_shard
+        if pad:
+            arr = np.concatenate(
+                [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+        return jax.device_put(arr, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     def _assemble_device(self, idx: np.ndarray, max_tokens: int,
                          max_frames: int):
         """On-device batch assembly: gather rows, slice to the bucket shape.
-        Only ``idx`` ([B] int32) crosses the host->device link."""
+        Only ``idx`` ([B] int32) crosses the host->device link.
+
+        First compiles happen inside the DevicePrefetcher's background
+        thread, possibly concurrent with the main thread's train-step jit —
+        which deadlocks on this backend (see utils/compile_lock.py), so the
+        first call per (t_in, t_out) bucket is serialized."""
         import jax
         import jax.numpy as jnp
+        from ..utils.compile_lock import COMPILE_LOCK
         if not hasattr(self, "_gather_fn"):
             import functools
 
-            @functools.partial(jax.jit, static_argnums=(2, 3))
             def _gather(store, idx, t_in, t_out):
                 return {
                     "inputs": store["inputs"][idx, :t_in],
@@ -225,9 +252,28 @@ class TacotronBatcher:
                     "linear_targets": store["linear_targets"][idx, :t_out],
                     "speaker_id": store["speaker_id"][idx],
                 }
-            self._gather_fn = _gather
-        return self._gather_fn(self.store, jnp.asarray(idx, jnp.int32),
-                               max_tokens, max_frames)
+            if self.mesh is not None:
+                # batch-sharded outputs match the sharded train step's
+                # in_shardings, so no resharding between gather and step
+                from ..parallel.mesh import batch_sharding
+                out_sh = {k: batch_sharding(self.mesh) for k in (
+                    "inputs", "input_lengths", "loss_coeff", "mel_targets",
+                    "linear_targets", "speaker_id")}
+                self._gather_fn = jax.jit(_gather, static_argnums=(2, 3),
+                                          out_shardings=out_sh)
+            else:
+                self._gather_fn = jax.jit(_gather, static_argnums=(2, 3))
+            self._gather_compiled = set()
+        args = (self.store, jnp.asarray(idx, jnp.int32),
+                max_tokens, max_frames)
+        bucket = (max_tokens, max_frames)
+        if bucket not in self._gather_compiled:
+            with COMPILE_LOCK:
+                out = self._gather_fn(*args)
+                jax.block_until_ready(out)
+                self._gather_compiled.add(bucket)
+            return out
+        return self._gather_fn(*args)
 
     def _next_example_store(self, data_dir: str):
         idxs = self.idx_dict[data_dir]
@@ -350,12 +396,21 @@ class WaveNetBatcher:
     def __init__(self, data_dirs: Sequence[str], cfg: Config,
                  batch_size: Optional[int] = None, gc_enable: bool = False,
                  seed: Optional[int] = None, batches_per_group: int = 32,
-                 device_store: bool = False):
+                 device_store: bool = False, data_type: str = "train",
+                 mesh=None):
         """``device_store=True`` keeps every (padded) clip resident on device
         and takes the random hop-aligned crops with on-device dynamic slices;
         per-step host->device traffic is two [B] int32 vectors (clip index +
         frame offset) instead of ~0.5 MB of audio+mel.  Crop selection is
-        identical to the host path (same rng stream) — proven by test."""
+        identical to the host path (same rng stream) — proven by test.
+
+        ``data_type``: 'train' excludes, 'test' serves, a deterministic
+        held-out set of ``train.num_test_per_speaker`` clips per data dir
+        (the last in sorted order) — the eval stream the reference's WaveNet
+        feeder lacks entirely.  Dirs too small to split (< 2x the held-out
+        count) keep every clip in both streams."""
+        assert data_type in ("train", "test"), data_type
+        self.data_type = data_type
         self.cfg = cfg
         self.batch_size = batch_size or cfg.wavenet.batch_size
         self.gc_enable = gc_enable
@@ -388,12 +443,20 @@ class WaveNetBatcher:
             if not paths:
                 raise ValueError(
                     f"no npz with time_steps > {min_length} in {d}")
+            n_test = max(1, cfg.train.num_test_per_speaker)
+            if len(paths) >= 2 * n_test + 1:
+                held = set(sorted(paths)[-n_test:])
+                paths = (sorted(held) if data_type == "test"
+                         else [p for p in paths if p not in held])
             self.path_dict[d] = paths
         self._offset = defaultdict(int)
 
         self.device_store = device_store
+        self.mesh = mesh
         if device_store:
             self._build_store()
+
+    _put_store = TacotronBatcher._put_store  # same example-dim sharding
 
     # ------------------------------------------------------------------
     # Device-resident store (full clips on device; crops via dynamic_slice)
@@ -427,9 +490,9 @@ class WaveNetBatcher:
 
         import jax
         import jax.numpy as jnp
-        self._store_audio = jnp.asarray(audio_arr)
-        self._store_mel = jnp.asarray(mel_arr)
-        self._store_sid = jnp.asarray(sids)
+        self._store_audio = self._put_store(audio_arr)
+        self._store_mel = self._put_store(mel_arr)
+        self._store_sid = self._put_store(sids)
         self.store_bytes = sum(
             a.size * a.dtype.itemsize
             for a in (self._store_audio, self._store_mel, self._store_sid))
@@ -437,7 +500,6 @@ class WaveNetBatcher:
         hop, sample_size, max_frames = \
             self.hop_size, self.sample_size, self.max_frames
 
-        @jax.jit
         def _gather(audio_s, mel_s, sid_s, idx, frame_off):
             def one(i, s):
                 a = jax.lax.dynamic_slice(
@@ -449,7 +511,13 @@ class WaveNetBatcher:
             return {"input_wav": a,
                     "local_condition": m.astype(jnp.float32),
                     "speaker_id": sid_s[idx]}
-        self._gather_fn = _gather
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            out_sh = {k: batch_sharding(self.mesh) for k in (
+                "input_wav", "local_condition", "speaker_id")}
+            self._gather_fn = jax.jit(_gather, out_shardings=out_sh)
+        else:
+            self._gather_fn = jax.jit(_gather)
 
     def _next_example(self, data_dir: str):
         paths = (self.idx_dict[data_dir] if self.device_store
@@ -486,10 +554,23 @@ class WaveNetBatcher:
             for i in range(0, len(examples) - n + 1, n):
                 batch = examples[i:i + n]
                 if self.device_store:
-                    yield self._gather_fn(
-                        self._store_audio, self._store_mel, self._store_sid,
-                        jnp.asarray([b[0] for b in batch], jnp.int32),
-                        jnp.asarray([b[1] for b in batch], jnp.int32))
+                    args = (self._store_audio, self._store_mel,
+                            self._store_sid,
+                            jnp.asarray([b[0] for b in batch], jnp.int32),
+                            jnp.asarray([b[1] for b in batch], jnp.int32))
+                    if not getattr(self, "_gather_ready", False):
+                        # first compile may happen inside the prefetcher
+                        # thread concurrently with the train-step jit —
+                        # serialize it (see utils/compile_lock.py)
+                        import jax
+                        from ..utils.compile_lock import COMPILE_LOCK
+                        with COMPILE_LOCK:
+                            out = self._gather_fn(*args)
+                            jax.block_until_ready(out)
+                            self._gather_ready = True
+                        yield out
+                        continue
+                    yield self._gather_fn(*args)
                     continue
                 yield WaveNetBatch(
                     input_wav=np.stack([b[0] for b in batch]),

@@ -101,10 +101,18 @@ class TacotronTask:
         return TrainState(state.step + 1, new_params, new_stats,
                           new_opt_state), metrics
 
-    def eval_step(self, state: TrainState, batch: Dict[str, jnp.ndarray]
+    def eval_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: Optional[jax.Array] = None
                   ) -> Dict[str, jnp.ndarray]:
-        """Teacher-free decode against targets (train/test gap metric,
-        reference train_tacotron.py:70-79)."""
+        """FREE-RUNNING decode against targets: the decoder feeds its own
+        outputs for targets-length steps, so the train/test gap measures
+        exposure bias (reference train_tacotron.py:152-158 builds the test
+        model with rnn_decoder_test_mode=True; helpers.py:84-88 feeds
+        previous outputs).  ``rng`` drives the live decoder-prenet dropout
+        (tacotron.py:41 keeps it on in test mode); defaults to a fixed key so
+        eval curves are comparable across steps."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         mel_t = batch["mel_targets"].astype(jnp.float32)
         lin_t = batch["linear_targets"].astype(jnp.float32)
@@ -112,7 +120,8 @@ class TacotronTask:
             variables, batch["inputs"], batch["input_lengths"],
             speaker_id=batch["speaker_id"],
             mel_targets=mel_t,
-            train=False, free_run=False)
+            train=False, free_run=True,
+            rngs={"dropout": rng})
         losses = tacotron_loss(outputs, mel_t,
                                lin_t, batch["loss_coeff"],
                                self.cfg.tacotron, self.cfg.audio)

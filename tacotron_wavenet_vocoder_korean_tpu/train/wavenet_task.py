@@ -100,6 +100,17 @@ class WaveNetTask:
         return WaveNetTrainState(state.step + 1, new_params, new_ema,
                                  new_opt), metrics
 
+    def eval_step(self, state: WaveNetTrainState,
+                  batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Held-out teacher-forced loss, evaluated with the EMA shadow
+        params (the weights generation actually uses) — the eval stream the
+        reference's WaveNet trainer lacks (SURVEY §5 observability)."""
+        _, losses = self.loss_fn(state.ema_params, batch)
+        return losses
+
+    def jit_eval_step(self):
+        return jax.jit(self.eval_step)
+
     def jit_train_step(self, mesh: Optional[Mesh] = None):
         if mesh is None:
             return jax.jit(self.train_step, donate_argnums=0)

@@ -121,6 +121,36 @@ def test_tacotron_batcher_test_mode(moon_subset):
     assert np.array_equal(b1.inputs, b2.inputs)  # static test batches
 
 
+def test_wavenet_batcher_heldout_split(moon_subset):
+    """train/test streams are disjoint and deterministic: the last
+    num_test_per_speaker clips (sorted) are held out for eval — the eval
+    stream the reference's WaveNet feeder lacks."""
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, wavenet={
+        "sample_size": 9000, "dilations": [1, 2, 4, 8, 16, 32, 64, 128] * 2,
+        "initial_filter_width": 32})
+    tr = D.WaveNetBatcher([out_dir], cfg2, batch_size=2)
+    te = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, data_type="test")
+    tr_paths = set(tr.path_dict[out_dir])
+    te_paths = set(te.path_dict[out_dir])
+    assert len(te_paths) == cfg2.train.num_test_per_speaker
+    assert not (tr_paths & te_paths)
+    # eval step consumes a held-out batch
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask, wavenet_batch_to_dict)
+    import jax
+    small = overlay(cfg2, wavenet={
+        "sample_size": 3000, "dilations": [1, 2, 4, 8] * 2,
+        "residual_channels": 4, "dilation_channels": 4, "skip_channels": 8,
+        "initial_filter_width": 8})
+    te2 = D.WaveNetBatcher([out_dir], small, batch_size=2, data_type="test")
+    task = WaveNetTask(small)
+    batch = next(iter(te2))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    out = task.jit_eval_step()(state, wavenet_batch_to_dict(batch))
+    assert np.isfinite(float(out["loss"]))
+
+
 def test_wavenet_batcher(moon_subset):
     cfg, out_dir, _ = moon_subset
     # bundled clips are ~2s; shrink sample_size so crops fit
@@ -250,6 +280,83 @@ def test_device_store_train_step(moon_subset):
     state = task.init_state(rng, _B)
     step = task.jit_train_step()
     state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_store_mesh_train_step(moon_subset):
+    """Mesh-sharded corpus store: the example dim is sharded over the data
+    axis, the batch gather yields batch-sharded dicts, and the SHARDED train
+    step consumes them directly (no host-transfer fallback under --use_mesh).
+    Stream content equals the unsharded store's."""
+    import jax
+    from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh
+    from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+        TacotronTask)
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, tacotron={
+        "min_iters": 1, "min_tokens": 5, "batch_size": 8,
+        "enc_bank_size": 2, "enc_bank_channel_size": 16, "enc_rnn_size": 16,
+        "enc_prenet_sizes": (16,), "enc_proj_sizes": (16, 16),
+        "attention_size": 16, "attention_state_size": 16,
+        "dec_rnn_size": 16, "dec_prenet_sizes": (16,),
+        "post_bank_size": 2, "post_bank_channel_size": 16,
+        "post_rnn_size": 16, "post_proj_sizes": (16, 80),
+        "embedding_size": 16, "initial_phase_step": 0})
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    plain = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=8,
+                              batches_per_group=2, seed=7,
+                              device_store=True)
+    dev = D.TacotronBatcher([out_dir], cfg2, "train", batch_size=8,
+                            batches_per_group=2, seed=7, device_store=True,
+                            mesh=mesh)
+    pit, dit = iter(plain), iter(dev)
+    pb, db = next(pit), next(dit)
+    for k in pb:
+        np.testing.assert_array_equal(np.asarray(pb[k]), np.asarray(db[k]))
+    assert "data" in str(db["mel_targets"].sharding)
+
+    task = TacotronTask(cfg2, is_randomly_initialized=True)
+    rng = jax.random.PRNGKey(0)
+
+    class _B:
+        inputs = np.asarray(db["inputs"])
+        input_lengths = np.asarray(db["input_lengths"])
+        loss_coeff = np.asarray(db["loss_coeff"])
+        mel_targets = np.asarray(db["mel_targets"], np.float32)
+        linear_targets = np.asarray(db["linear_targets"], np.float32)
+        speaker_id = np.asarray(db["speaker_id"])
+
+    state = task.init_state(rng, _B)
+    step = task.jit_train_step(mesh)
+    state, metrics = step(state, db, rng)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_wavenet_device_store_mesh_train_step(moon_subset):
+    """WaveNet mesh-sharded clip store feeds the sharded train step."""
+    import jax
+    from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask)
+    cfg, out_dir, _ = moon_subset
+    cfg2 = overlay(cfg, wavenet={
+        "sample_size": 3000, "dilations": [1, 2, 4, 8] * 2,
+        "residual_channels": 4, "dilation_channels": 4, "skip_channels": 8,
+        "initial_filter_width": 8, "batch_size": 8})
+    mesh = make_mesh()
+    plain = D.WaveNetBatcher([out_dir], cfg2, batch_size=8, seed=11,
+                             device_store=True)
+    dev = D.WaveNetBatcher([out_dir], cfg2, batch_size=8, seed=11,
+                           device_store=True, mesh=mesh)
+    pb, db = next(iter(plain)), next(iter(dev))
+    for k in pb:
+        np.testing.assert_array_equal(np.asarray(pb[k]), np.asarray(db[k]))
+
+    task = WaveNetTask(cfg2)
+    state = task.init_state(jax.random.PRNGKey(0), db)
+    step = task.jit_train_step(mesh)
+    state, metrics = step(state, db)
     assert np.isfinite(float(metrics["loss"]))
 
 

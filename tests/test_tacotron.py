@@ -205,6 +205,10 @@ def test_sharded_train_step():
 
 
 def test_eval_step_free_decode():
+    """eval_step must FREE-RUN: its decode may not consume the teacher
+    frames (reference train_tacotron.py:152-158 builds the test model with
+    rnn_decoder_test_mode=True), so the gap metric measures exposure bias.
+    Perturbing mel_targets changes the loss but NOT the decoded outputs."""
     cfg = Config(tacotron=tiny_cfg())
     task = TacotronTask(cfg)
     raw = make_batch()
@@ -217,9 +221,56 @@ def test_eval_step_free_decode():
         speaker_id=np.asarray(raw["speaker_id"]))
     state = task.init_state(RNG, batch)
     ev = task.jit_eval_step()
-    out = ev(state, batch_to_dict(batch))
+    d = batch_to_dict(batch)
+    out = ev(state, d)
     assert np.isfinite(float(out["loss"]))
     assert out["alignments"].shape == (2, 16, 4)
+    # same state + inputs, different teacher frames -> identical decode
+    d2 = dict(d)
+    d2["mel_targets"] = d["mel_targets"] + 1.0
+    out2 = ev(state, d2)
+    np.testing.assert_allclose(np.asarray(out["mel_outputs"]),
+                               np.asarray(out2["mel_outputs"]), atol=1e-6)
+    assert float(out2["loss"]) != float(out["loss"])
+
+
+def test_luong_mismatched_query_dim():
+    """Luong with attention_state_size != attention_size must still work
+    (query projection; TF's LuongAttention would error — tacotron.py:127-146
+    only runs because the reference keeps the dims equal)."""
+    cfg = tiny_cfg(attention_type="luong", attention_state_size=48)
+    out = _forward(cfg, make_batch())
+    assert out["mel_outputs"].shape == (2, 20, 80)
+    assert np.isfinite(np.asarray(out["mel_outputs"])).all()
+
+
+def test_inference_prenet_dropout_gated_on_rng():
+    """Reference tacotron.py:41 keeps decoder-prenet dropout live in test
+    mode.  With dec_prenet_dropout_inference=True: rng-less apply stays
+    deterministic; different dropout rngs give different free-run decodes."""
+    cfg = tiny_cfg()
+    assert cfg.dec_prenet_dropout_inference  # reference-parity default
+    batch = make_batch()
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+
+    def decode(rngs):
+        out = model.apply(variables, batch["inputs"], batch["input_lengths"],
+                          speaker_id=batch["speaker_id"],
+                          train=False, free_run=True, max_iters=4, rngs=rngs)
+        return np.asarray(out["mel_outputs"])
+
+    a = decode(None)
+    b = decode(None)
+    np.testing.assert_allclose(a, b, atol=0)          # rng-less: exact
+    c = decode({"dropout": jax.random.PRNGKey(1)})
+    d = decode({"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(c - d).max() > 1e-6                 # dropout is live
+    e = decode({"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(c, e, atol=0)          # and seeded
 
 
 def test_monotonic_parallel_math():

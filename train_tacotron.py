@@ -98,13 +98,17 @@ def train(args):
     if mesh is not None:
         log(f"mesh: {mesh.devices.shape} over {mesh.axis_names}")
 
-    use_store = cfg.train.device_resident_data and mesh is None
+    # The corpus store works under a mesh too: example dim sharded over the
+    # data axis, batch gathers become ICI collectives (parity with the
+    # single-chip fast path — no fallback to host transfers).
+    use_store = cfg.train.device_resident_data
     train_batcher = TacotronBatcher(args.data_paths, cfg, "train",
                                     apply_filter=not args.skip_path_filter,
-                                    device_store=use_store)
+                                    device_store=use_store, mesh=mesh)
     if use_store:
         log(f"device-resident corpus store: "
-            f"{train_batcher.store_bytes / 1e6:.0f} MB on device")
+            f"{train_batcher.store_bytes / 1e6:.0f} MB on device"
+            + (" (sharded over the data axis)" if mesh else ""))
     test_batcher = TacotronBatcher(args.data_paths, cfg, "test",
                                    apply_filter=not args.skip_path_filter)
 

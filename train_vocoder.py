@@ -59,12 +59,14 @@ def train(args):
     log(debug_string(cfg))
 
     mesh = make_mesh() if args.use_mesh else None
-    use_store = cfg.train.device_resident_data and mesh is None
+    # device store works under a mesh (example dim sharded over data axis)
+    use_store = cfg.train.device_resident_data
     batcher = WaveNetBatcher(args.data_dir, cfg, gc_enable=gc_enable,
-                             device_store=use_store)
+                             device_store=use_store, mesh=mesh)
     if use_store:
         log(f"device-resident clip store: "
-            f"{batcher.store_bytes / 1e6:.0f} MB on device")
+            f"{batcher.store_bytes / 1e6:.0f} MB on device"
+            + (" (sharded over the data axis)" if mesh else ""))
     task = WaveNetTask(cfg, gc_enable=gc_enable)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
 
@@ -84,6 +86,13 @@ def train(args):
     ckpt = CheckpointManager(log_dir, max_to_keep=cfg.train.max_checkpoints)
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     metrics_f = open(metrics_path, "a", encoding="utf-8")
+
+    # Held-out eval stream (teacher-forced loss on unseen clips, EMA params).
+    test_batcher = WaveNetBatcher(
+        args.data_dir, cfg, gc_enable=gc_enable, data_type="test",
+        seed=cfg.train.random_seed + 1, batches_per_group=1)
+    test_iter = iter(test_batcher)
+    eval_fn = task.jit_eval_step()
 
     step_fn = task.jit_train_step(mesh)
     if use_store:
@@ -121,6 +130,17 @@ def train(args):
                     {"step": step,
                      **{k: float(v) for k, v in metrics.items()
                         if np.ndim(v) == 0}}) + "\n")
+                metrics_f.flush()
+
+            if step % cfg.train.test_interval == 0:
+                eval_out = eval_fn(state,
+                                   wavenet_batch_to_dict(next(test_iter)))
+                test_loss = float(eval_out["loss"])
+                log(f"  eval: test_loss={test_loss:.5f} "
+                    f"(train-test gap={test_loss - loss:+.5f})")
+                metrics_f.write(json.dumps(
+                    {"step": step, "test_loss": test_loss,
+                     "gap_test_train": test_loss - loss}) + "\n")
                 metrics_f.flush()
 
             if step % checkpoint_interval == 0:
