@@ -98,8 +98,11 @@ class WaveNet(nn.Module):
             x = audio[:, :-1, :].astype(dt)
             target = audio[:, rf:, :]
         else:
-            from ..dsp.mulaw import mulaw_encode
-            ids = mulaw_encode(audio[..., 0], cfg.quantization_channels)
+            # Quantized mode: the corpus/feeder already stores mu-law CLASS
+            # IDS (data/corpus.py:48-53, like the reference feeder) — one-hot
+            # them directly (reference wavenet/model.py:221-229); re-encoding
+            # here would double-compand.
+            ids = jnp.round(audio[..., 0]).astype(jnp.int32)
             onehot = jax.nn.one_hot(ids, cfg.quantization_channels)
             x = onehot[:, :-1, :].astype(dt)
             target = ids[:, rf:]
@@ -322,7 +325,10 @@ def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
         emitted = sample
     else:
         scaled = jnp.log(jax.nn.softmax(logits, -1) + 1e-20) / temperature
-        cls = jax.random.categorical(step_rng, scaled, axis=-1)
+        if deterministic:
+            cls = jnp.argmax(scaled, axis=-1)
+        else:
+            cls = jax.random.categorical(step_rng, scaled, axis=-1)
         nxt = jax.nn.one_hot(cls, cfg.quantization_channels)
         emitted = cls.astype(jnp.float32)
 

@@ -157,7 +157,13 @@ def pack_params(cfg: WaveNetConfig, params: Dict[str, Any],
         "b_res": jnp.stack(b_res).astype(jnp.float32),        # [L, R]
         "w_lc_all": jnp.concatenate(w_lc, axis=-1),           # [C_lc, L*2D]
         "lc_bias": jnp.concatenate(lc_bias),                  # [L*2D]
-        "front": params["causal_kernel"][:, 0, :].astype(wd),  # [W, R]
+        # Front causal conv: scalar input keeps the [W, R] tap matrix; the
+        # quantized (softmax) path flattens [W, Q, R] -> [W*Q, R] so the
+        # kernel applies it as one one-hot matmul (row w*Q+q = tap w, class q).
+        "front": (params["causal_kernel"][:, 0, :]
+                  if cfg.scalar_input
+                  else params["causal_kernel"].reshape(
+                      -1, params["causal_kernel"].shape[-1])).astype(wd),
         "skip_bias": skip_bias.astype(jnp.float32),           # [S]
         "post1": params["post_1"]["kernel"].astype(wd),
         "b1": params["post_1"].get("bias", jnp.zeros(S)).astype(jnp.float32),
@@ -205,7 +211,8 @@ def _ablations() -> set:
 
 
 def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
-                         deterministic: bool = False, fuse_block: int = 25):
+                         deterministic: bool = False, fuse_block: int = 25,
+                         prime: bool = False):
     """Build the kernel body for a static (config, chunk, batch).
 
     History layout: per (stream, unique dilation d) a compact ring of d rows,
@@ -213,12 +220,27 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
     (grouped lanes).  Total history = sum(d) * group * R floats per stream
     (~650 KB for the full model) instead of max_d * L * R (~3.3 MB) — this is
     what lets 8 streams fit VMEM together with the weights.
+
+    Two sampling heads share the stack sweep:
+      * scalar input (``cfg.scalar_input``): mixture-of-logistics head, the
+        raw-sample window feeds a [W, R] front matmul.
+      * quantized input: 256-way softmax head with ``temperature`` (reference
+        generate.py:216-231); the window holds CLASS INDICES and the front
+        causal conv is a one-hot [B, W*Q] @ [W*Q, R] matmul.
+
+    ``prime=True`` adds a teacher-forcing stream (reference
+    generate.py:168-192's wav_seed path): for t < prime_len the window tail
+    is overwritten with the seed sample before the sweep — exactly the scan
+    sampler's ``prev=seed[t]`` substitution — so histories warm up on real
+    audio and generation continues from it.
     """
     L = len(cfg.dilations)
     R, D, S = (cfg.residual_channels, cfg.dilation_channels,
                cfg.skip_channels)
+    scalar_mode = cfg.scalar_input
     C_out = cfg.out_channels
     nr_mix = C_out // 3
+    Q = cfg.quantization_channels
     dilations = tuple(cfg.dilations)
     unique_d = sorted(set(dilations))
     # layers grouped by dilation; position of layer l within its group
@@ -233,17 +255,28 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
     n_hist = len(unique_d)
     K = max(1, min(fuse_block, L))
     ablate = _ablations()
+    W = cfg.initial_filter_width if scalar_mode else cfg.filter_width
 
-    def kernel(seed_ref, *refs):
-        # refs: B lc streams, 11 weight refs, out_ref, then B*n_hist history
-        # scratches (stream-major) + window scratch.
+    def kernel(scal_ref, *refs):
+        # refs: B lc streams, [prime stream], 12 weight refs, [temperature],
+        # out_ref, then B*n_hist history scratches (stream-major) + window.
+        idx = B
         lc_refs = refs[:B]
+        prime_ref = None
+        if prime:
+            prime_ref = refs[idx]                   # [chunk, 8]
+            idx += 1
         (w_old_ref, w_cur_blk_ref, m_next_ref, m_rest_ref, w_skip_ref,
          b_res_ref, front_ref, skip_bias_ref, post1_ref, b1_ref, post2_ref,
-         b2_ref) = refs[B:B + 12]
-        out_ref = refs[B + 12]
-        hists = refs[B + 13:B + 13 + B * n_hist]
-        window = refs[B + 13 + B * n_hist]          # [B, W]
+         b2_ref) = refs[idx:idx + 12]
+        idx += 12
+        temp_ref = None
+        if not scalar_mode:
+            temp_ref = refs[idx]                    # [1, 1] f32
+            idx += 1
+        out_ref = refs[idx]
+        hists = refs[idx + 1:idx + 1 + B * n_hist]
+        window = refs[idx + 1 + B * n_hist]         # [B, W]
 
         def hist(b, d):
             return hists[b * n_hist + unique_d.index(d)]
@@ -254,14 +287,31 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
         def _init():
             for h_ref in hists:
                 h_ref[...] = jnp.zeros_like(h_ref)
-            window[...] = jnp.zeros_like(window)
+            # Quantized mode: -1 marks "no sample yet" so the one-hot front
+            # conv contributes nothing (the scan sampler's zero-vector prev);
+            # class 0 would wrongly select real taps.
+            window[...] = (jnp.zeros_like(window) if scalar_mode
+                           else jnp.full_like(window, -1.0))
 
-        pltpu.prng_seed(seed_ref[0] + i)
+        pltpu.prng_seed(scal_ref[0] + i)
+        prime_len = scal_ref[1]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        if not scalar_mode:
+            q_iota = jax.lax.broadcasted_iota(jnp.float32, (1, Q), 1)
 
         def step(j, out_acc):
             t = i * chunk + j
+
+            if prime:
+                # Teacher-forced warm-up: replace the window tail (last
+                # step's sample) with the seed value for this step.
+                w_now = window[...]
+                forced = jnp.transpose(
+                    prime_ref[pl.ds(j, 1), :])[:B, :]          # [B, 1]
+                tail = jnp.where(t < prime_len, forced, w_now[:, W - 1:W])
+                window[...] = jnp.concatenate([w_now[:, :W - 1], tail],
+                                              axis=-1)
 
             # One ring-row read per (stream, unique dilation): slot t mod d
             # holds the group's layer inputs from step t-d.
@@ -275,9 +325,19 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
                     [hist(b, d)[pl.ds(slot_d, 1), :] for b in range(B)],
                     axis=0)                                    # [B, G_d*R]
 
-            # Front causal conv over the raw-sample window.
-            h = jnp.dot(window[...].astype(front_ref.dtype), front_ref[...],
-                        preferred_element_type=jnp.float32)    # [B, R]
+            # Front causal conv over the input window.
+            if scalar_mode:
+                h = jnp.dot(window[...].astype(front_ref.dtype),
+                            front_ref[...],
+                            preferred_element_type=jnp.float32)  # [B, R]
+            else:
+                # window holds class indices; one-hot against the flattened
+                # [W*Q, R] tap matrix (row w*Q+q) in a single MXU matmul.
+                oh = jnp.concatenate(
+                    [(q_iota == window[:, w:w + 1]).astype(jnp.float32)
+                     for w in range(W)], axis=-1)              # [B, W*Q]
+                h = jnp.dot(oh.astype(front_ref.dtype), front_ref[...],
+                            preferred_element_type=jnp.float32)  # [B, R]
 
             lc_rows = jnp.concatenate(
                 [lc_refs[b][pl.ds(j, 1), :] for b in range(B)],
@@ -381,28 +441,47 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
             z = jnp.maximum(z, 0.0)
             logits = jnp.dot(z.astype(post2_ref.dtype), post2_ref[...],
                              preferred_element_type=jnp.float32) + b2_ref[...]
-            # logits: [B, C_out] = [logit_probs | means | log_scales]
 
-            if deterministic:
-                scores = logits[:, :nr_mix]
+            if scalar_mode:
+                # logits: [B, C_out] = [logit_probs | means | log_scales]
+                if deterministic:
+                    scores = logits[:, :nr_mix]
+                else:
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((16, 128)), jnp.uint32)
+                    u_sel = _uniform_from_bits(bits[0:B, :nr_mix])  # [B, nr]
+                    scores = logits[:, :nr_mix] - jnp.log(-jnp.log(u_sel))
+                sel = (scores >= jnp.max(scores, axis=-1, keepdims=True))
+                sel = sel.astype(jnp.float32)
+                sel = sel / jnp.sum(sel, axis=-1, keepdims=True)  # ties safe
+                mean = jnp.sum(logits[:, nr_mix:2 * nr_mix] * sel, axis=-1)
+                if deterministic:
+                    x = jnp.clip(mean, -1.0, 1.0)                 # [B]
+                else:
+                    log_scale = jnp.maximum(
+                        jnp.sum(logits[:, 2 * nr_mix:] * sel, axis=-1),
+                        LOG_SCALE_MIN)
+                    u = _uniform_from_bits(bits[8:8 + B, 0:1])[:, 0]  # [B]
+                    x = mean + jnp.exp(log_scale) * (jnp.log(u)
+                                                     - jnp.log(1.0 - u))
+                    x = jnp.clip(x, -1.0, 1.0)                    # [B]
             else:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((16, 128)), jnp.uint32)
-                u_sel = _uniform_from_bits(bits[0:B, :nr_mix])  # [B, nr]
-                scores = logits[:, :nr_mix] - jnp.log(-jnp.log(u_sel))
-            sel = (scores >= jnp.max(scores, axis=-1, keepdims=True))
-            sel = sel.astype(jnp.float32)
-            sel = sel / jnp.sum(sel, axis=-1, keepdims=True)    # ties safe
-            mean = jnp.sum(logits[:, nr_mix:2 * nr_mix] * sel, axis=-1)
-            if deterministic:
-                x = jnp.clip(mean, -1.0, 1.0)                   # [B]
-            else:
-                log_scale = jnp.maximum(
-                    jnp.sum(logits[:, 2 * nr_mix:] * sel, axis=-1),
-                    LOG_SCALE_MIN)
-                u = _uniform_from_bits(bits[8:8 + B, 0:1])[:, 0]  # [B]
-                x = mean + jnp.exp(log_scale) * (jnp.log(u) - jnp.log(1.0 - u))
-                x = jnp.clip(x, -1.0, 1.0)                      # [B]
+                # 256-way softmax head with temperature (scan sampler /
+                # reference generate.py:216-231: log(softmax+1e-20)/T, then
+                # categorical = Gumbel-max).
+                mx = jnp.max(logits, axis=-1, keepdims=True)
+                logp = (logits - mx) - jnp.log(
+                    jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
+                scores = jnp.log(jnp.exp(logp) + 1e-20) / temp_ref[0, 0]
+                if not deterministic:
+                    nrow = _next_pow2(max(B, 8))
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((nrow, Q)), jnp.uint32)
+                    u = _uniform_from_bits(bits[:B, :])           # [B, Q]
+                    scores = scores - jnp.log(-jnp.log(u))
+                sel = (scores >= jnp.max(scores, axis=-1, keepdims=True))
+                # first max index (argmax semantics, ties -> lowest class)
+                x = jnp.min(jnp.where(sel, q_iota, float(Q)), axis=-1)  # [B]
 
             # Mosaic can't do unaligned dynamic 1-D stores; accumulate the
             # chunk in registers and store once at the end.
@@ -429,11 +508,17 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
 def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
                     lc_projs, seed: jnp.ndarray,
                     chunk: int = 64, deterministic: bool = False,
-                    fuse_block: int = 25) -> jnp.ndarray:
+                    fuse_block: int = 25,
+                    primed: Optional[jnp.ndarray] = None,
+                    temperature: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Generate T samples for B streams sharing weights.
 
     ``lc_projs``: tuple of B arrays [T, L*2D] (T padded to a multiple of
-    ``chunk``).  Returns [B, T] float32 in [-1, 1].
+    ``chunk``).  ``seed``: [2] int32 = (prng_seed, prime_len).  ``primed``:
+    optional [T, 8] teacher-forcing stream (column b = stream b; raw samples
+    in scalar mode, class indices in quantized mode) consumed for
+    t < prime_len.  ``temperature`` (scalar) shapes the softmax head only.
+    Returns [B, T] float32 (raw samples, or class indices in quantized mode).
     """
     if not isinstance(lc_projs, (list, tuple)):
         lc_projs = (lc_projs,)
@@ -441,20 +526,40 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
     T = lc_projs[0].shape[0]
     assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
     L = len(cfg.dilations)
-    R = cfg.residual_channels
-    W = cfg.initial_filter_width
+    D = cfg.dilation_channels
+    W = cfg.initial_filter_width if cfg.scalar_input else cfg.filter_width
     S = cfg.skip_channels
+    # Guard against packing/calling with inconsistent fuse blocks: the
+    # kernel slices w_cur_blk/m_rest by K, so a mismatch silently produces
+    # garbage.  K is recoverable from the packed shapes.
+    K = max(1, min(fuse_block, L))
+    K_packed = packed["w_cur_blk"].shape[2] // (2 * D)
+    assert K_packed == K, (
+        f"packed fuse_block={K_packed} != requested fuse_block={K}; "
+        f"pack_params and pallas_generate must agree")
+    prime = primed is not None
 
     kernel, hist_shapes = make_generate_kernel(cfg, chunk, batch=B,
                                                deterministic=deterministic,
-                                               fuse_block=fuse_block)
+                                               fuse_block=fuse_block,
+                                               prime=prime)
 
     lc_specs = [pl.BlockSpec((chunk, lc_projs[0].shape[1]),
                              lambda i, *_: (i, 0)) for _ in range(B)]
+    prime_specs, prime_ops = [], []
+    if prime:
+        prime_specs = [pl.BlockSpec((chunk, 8), lambda i, *_: (i, 0))]
+        prime_ops = [primed]
+    temp_specs, temp_ops = [], []
+    if not cfg.scalar_input:
+        if temperature is None:
+            temperature = jnp.float32(1.0)
+        temp_specs = [pl.BlockSpec((1, 1), lambda i, *_: (0, 0))]
+        temp_ops = [jnp.reshape(temperature.astype(jnp.float32), (1, 1))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // chunk,),
-        in_specs=lc_specs + [
+        in_specs=lc_specs + prime_specs + [
             pl.BlockSpec(packed["w_old"].shape, lambda i, *_: (0, 0, 0)),
             pl.BlockSpec(packed["w_cur_blk"].shape, lambda i, *_: (0, 0, 0)),
             pl.BlockSpec(packed["m_next"].shape, lambda i, *_: (0, 0, 0)),
@@ -467,7 +572,7 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
             pl.BlockSpec((1, S), lambda i, *_: (0, 0)),
             pl.BlockSpec(packed["post2"].shape, lambda i, *_: (0, 0)),
             pl.BlockSpec((1, packed["b2"].shape[0]), lambda i, *_: (0, 0)),
-        ],
+        ] + temp_specs,
         out_specs=pl.BlockSpec((1, 8, chunk), lambda i, *_: (i, 0, 0)),
         scratch_shapes=(
             [pltpu.VMEM(shape, jnp.float32)
@@ -482,12 +587,13 @@ def pallas_generate(cfg: WaveNetConfig, packed: Dict[str, jnp.ndarray],
         out_shape=jax.ShapeDtypeStruct((T // chunk, 8, chunk), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed,
-      *lc_projs,
+      *lc_projs, *prime_ops,
       packed["w_old"], packed["w_cur_blk"], packed["m_next"],
       packed["m_rest"], packed["w_skip"], packed["b_res"], packed["front"],
       packed["skip_bias"][None, :],
       packed["post1"], packed["b1"][None, :],
-      packed["post2"], packed["b2"][None, :])
+      packed["post2"], packed["b2"][None, :],
+      *temp_ops)
     # [n_chunks, 8, chunk] -> [B, T]
     return jnp.transpose(out3d[:, :B, :], (1, 0, 2)).reshape(B, T)
 
@@ -502,16 +608,24 @@ def pallas_incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
                                 chunk: int = 64,
                                 deterministic: bool = False,
                                 weight_dtype=None,
-                                fuse_block: Optional[int] = None
+                                fuse_block: Optional[int] = None,
+                                seed_audio: Optional[jnp.ndarray] = None,
+                                temperature: float = 1.0,
                                 ) -> jnp.ndarray:
-    """Drop-in for models.wavenet.incremental_generate (scalar input):
+    """Drop-in for models.wavenet.incremental_generate:
     [B, T, C_lc] mel-rate-upsampled lc -> [B, T] samples, B <= 8 streams
-    sharing the weight-resident kernel.
+    sharing the weight-resident kernel.  Supports both heads: scalar-input
+    (mixture of logistics) and quantized (256-way softmax + ``temperature``,
+    reference generate.py:216-231; quantized output is CLASS INDICES —
+    mu-law decode downstream, exactly like the scan sampler).
+
+    ``seed_audio [B, T_seed, Cin]`` (scan-sampler convention: raw samples in
+    the last axis for scalar input, one-hot classes otherwise) teacher-forces
+    the first T_seed steps — the reference generate.py:168-192 wav_seed path.
 
     Jitted end-to-end: weight packing + lc projection fuse into the same
     program as the kernel (eager packing cost ~0.9 s/call otherwise).
     """
-    assert cfg.scalar_input, "pallas sampler supports scalar-input modes"
     B = lc.shape[0]
     # bf16 weights by default: measured identical speed to f32 at equal
     # fuse_block, but they halve VMEM so the large fuse blocks (fewer
@@ -535,9 +649,19 @@ def pallas_incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
         gc_b = gc[b] if gc is not None else None
         proj = precompute_lc_proj(packed, lc[b], gc_b)
         lc_projs.append(jnp.pad(proj, ((0, T_pad - T), (0, 0))))
-    seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
-                       jnp.int32)
+
+    primed = None
+    prime_len = 0
+    if seed_audio is not None:
+        prime_len = seed_audio.shape[1]
+        vals = (seed_audio[:, :, 0] if cfg.scalar_input
+                else jnp.argmax(seed_audio, axis=-1).astype(jnp.float32))
+        primed = jnp.zeros((T_pad, 8), jnp.float32)
+        primed = primed.at[:prime_len, :B].set(jnp.transpose(vals))
+    seed = jnp.stack([jax.random.randint(rng, (), 0, 2 ** 31 - 1),
+                      jnp.int32(prime_len)]).astype(jnp.int32)
     samples = pallas_generate(cfg, packed, tuple(lc_projs), seed,
                               chunk=chunk, deterministic=deterministic,
-                              fuse_block=fuse_block)
+                              fuse_block=fuse_block, primed=primed,
+                              temperature=jnp.float32(temperature))
     return samples[:, :T]

@@ -114,3 +114,70 @@ def test_wavenet_generator_roundtrip(tmp_path):
     assert wav.shape == (4 * hop,)
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() <= 1.0
+
+    # Batched ragged-length vocoding (reference generate.py:120-137): three
+    # mels of different lengths through ONE launch, each trimmed back.
+    mels = [rng.randn(4, 80).astype(np.float32),
+            rng.randn(6, 80).astype(np.float32),
+            rng.randn(3, 80).astype(np.float32)]
+    wavs = gen.generate(mels)
+    assert [len(w) for w in wavs] == [4 * hop, 6 * hop, 3 * hop]
+    assert all(np.isfinite(w).all() for w in wavs)
+
+    # wav_seed priming end-to-end (reference generate.py:66,168-192)
+    seed_wav = rng.uniform(-0.5, 0.5, 2 * hop).astype(np.float32)
+    seeded = gen.generate(mel, wav_seed=seed_wav)
+    assert seeded.shape == (4 * hop,)
+    assert np.isfinite(seeded).all()
+
+    # A seed LONGER than the utterance must not over-run it: only the last
+    # receptive_field samples prime (reference generate.py:169 uses
+    # waveform[-receptive_field:]).
+    long_seed = rng.uniform(-0.5, 0.5, 10 * hop).astype(np.float32)
+    seeded = gen.generate(mel, wav_seed=long_seed)
+    assert seeded.shape == (4 * hop,)
+    assert np.isfinite(seeded).all()
+
+
+def test_wavenet_generator_quantized_temperature(tmp_path):
+    """Quantized (mulaw-quantize) generator: softmax sampling with
+    temperature + wav_seed one-hot encoding (reference generate.py:55,216)."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask, wavenet_batch_to_dict)
+    from tacotron_wavenet_vocoder_korean_tpu.data.loader import WaveNetBatch
+    from tacotron_wavenet_vocoder_korean_tpu.synth.generator import (
+        WaveNetGenerator)
+
+    log_dir = str(tmp_path / "wnq")
+    cfg = overlay(Config(), wavenet={
+        "input_type": "mulaw-quantize", "scalar_input": False,
+        "dilations": [1, 2, 4, 1, 2, 4], "residual_channels": 8,
+        "dilation_channels": 8, "skip_channels": 16,
+        "quantization_channels": 64, "out_channels": 64,
+        "sample_size": 1500, "batch_size": 2})
+    prepare_run_dir(log_dir, cfg)
+
+    hop = cfg.audio.hop_size
+    rng = np.random.RandomState(0)
+    batch = WaveNetBatch(
+        # quantized corpora store mu-law class ids (data/corpus.py:48-53)
+        input_wav=rng.randint(0, 64, (2, 5 * hop, 1)).astype(np.float32),
+        local_condition=rng.randn(2, 5, 80).astype(np.float32),
+        speaker_id=np.zeros((2,), np.int32))
+
+    task = WaveNetTask(cfg)
+    state = task.init_state(RNG, batch)
+    step_fn = task.jit_train_step()
+    state, metrics = step_fn(state, wavenet_batch_to_dict(batch))
+    assert np.isfinite(float(metrics["loss"]))
+    ckpt = CheckpointManager(log_dir)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+
+    gen = WaveNetGenerator().load(log_dir)
+    mel = rng.randn(4, 80).astype(np.float32)
+    seed_wav = rng.uniform(-0.5, 0.5, hop).astype(np.float32)
+    wav = gen.generate(mel, wav_seed=seed_wav, temperature=0.7)
+    assert wav.shape == (4 * hop,)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0   # decoded out of mu-law space
