@@ -7,11 +7,16 @@ For each sampled corpus utterance:
   * synth   — full text -> Tacotron -> Griffin-Lim pipeline vs the real audio
 
 The gap synth - oracle isolates the acoustic model's contribution; at
-convergence it approaches 0.  Prints one JSON line.
+convergence it approaches 0.  Prints one JSON line, with a per-speaker
+breakdown when several data dirs are given (speaker id = position in the
+--data list, matching the training feeder's dir_to_id).
 
 Usage:
   python scripts/quality_eval.py --tacotron logs/moon_r1 \
       --data workdir/moon/data [--n 6] [--platform cpu]
+  # multi-speaker, held-out utterances only:
+  python scripts/quality_eval.py --tacotron logs/both \
+      --data workdir/moon/data,workdir/son/data --heldout
 """
 import argparse
 import glob
@@ -27,13 +32,24 @@ import jax
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tacotron", required=True, help="tacotron run dir")
-    p.add_argument("--data", required=True, help="preprocessed npz dir")
-    p.add_argument("--n", type=int, default=6, help="utterances to score")
+    p.add_argument("--data", type=lambda s: s.split(","), required=True,
+                   help="preprocessed npz dir(s), comma separated; order "
+                        "must match training so speaker ids line up")
+    p.add_argument("--n", type=int, default=6,
+                   help="utterances to score per speaker")
+    p.add_argument("--heldout", action="store_true",
+                   help="score ONLY the run's held-out split (reconstructed "
+                        "with the run config's seed + num_test_per_speaker)")
     p.add_argument("--out_dir", default=None,
                    help="optionally save synthesized wavs here")
     p.add_argument("--platform", default=None)
     p.add_argument("--fused_rnn", action="store_true",
                    help="use the fused-GRU fast inference path")
+    p.add_argument("--inference_dropout", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="decoder-prenet dropout at inference: 'auto' follows "
+                        "the run config (reference keeps it ON, "
+                        "tacotron.py:41); 'on'/'off' force it for A/B runs")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -46,43 +62,72 @@ def main():
     from tacotron_wavenet_vocoder_korean_tpu import dsp
 
     enable_compilation_cache()
-    synth = Synthesizer().load(args.tacotron, fused_rnn=args.fused_rnn)
+    inference_dropout = {"auto": None, "on": True, "off": False}[
+        args.inference_dropout]
+    synth = Synthesizer().load(args.tacotron, fused_rnn=args.fused_rnn,
+                               inference_dropout=inference_dropout)
     cfg = synth.cfg
 
-    paths = sorted(glob.glob(os.path.join(args.data, "*.npz")))
-    # deterministic spread over the corpus
-    paths = paths[:: max(1, len(paths) // args.n)][:args.n]
+    def pick_paths(data_dir):
+        if args.heldout:
+            # reconstruct the training held-out split (same rng stream)
+            from tacotron_wavenet_vocoder_korean_tpu.data.loader import (
+                TacotronBatcher)
+            b = TacotronBatcher([data_dir], cfg, "test", batch_size=1)
+            paths = sorted(b.path_dict[data_dir])
+        else:
+            paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+        # deterministic spread
+        return paths[:: max(1, len(paths) // args.n)][:args.n]
 
-    oracle_scores, synth_scores, texts = [], [], []
-    for path in paths:
-        with np.load(path) as d:
-            real = np.asarray(d["audio"], np.float32)
-            linear = np.asarray(d["linear"], np.float32)
-            text = str(d["text"])
-        texts.append(text)
+    per_speaker = {}
+    all_synth, all_oracle = [], []
+    for sid, data_dir in enumerate(args.data):
+        oracle_scores, synth_scores = [], []
+        for path in pick_paths(data_dir):
+            with np.load(path) as d:
+                real = np.asarray(d["audio"], np.float32)
+                linear = np.asarray(d["linear"], np.float32)
+                text = str(d["text"])
 
-        gl_oracle = np.asarray(dsp.inv_linear_spectrogram(linear.T, cfg.audio))
-        oracle_scores.append(mcd(gl_oracle, real, cfg.audio))
+            gl_oracle = np.asarray(
+                dsp.inv_linear_spectrogram(linear.T, cfg.audio))
+            oracle_scores.append(mcd(gl_oracle, real, cfg.audio))
 
-        out = synth.synthesize([text], save_alignment=False, save_mel=False)
-        wav = out[0]["wav"]
-        synth_scores.append(mcd(wav, real, cfg.audio))
-        if args.out_dir:
-            os.makedirs(args.out_dir, exist_ok=True)
-            base = os.path.splitext(os.path.basename(path))[0]
-            dsp.save_wav(wav, os.path.join(args.out_dir, base + ".synth.wav"),
-                         cfg.audio.sample_rate)
+            out = synth.synthesize([text], speaker_ids=[sid],
+                                   save_alignment=False, save_mel=False)
+            wav = out[0]["wav"]
+            synth_scores.append(mcd(wav, real, cfg.audio))
+            if args.out_dir:
+                os.makedirs(args.out_dir, exist_ok=True)
+                base = os.path.splitext(os.path.basename(path))[0]
+                dsp.save_wav(
+                    wav, os.path.join(args.out_dir, f"{sid}_{base}.synth.wav"),
+                    cfg.audio.sample_rate)
+
+        name = os.path.basename(os.path.dirname(data_dir)) or data_dir
+        per_speaker[name] = {
+            "n": len(synth_scores),
+            "synth_mcd_db": round(float(np.mean(synth_scores)), 2),
+            "oracle_mcd_db": round(float(np.mean(oracle_scores)), 2),
+            "gap_db": round(float(np.mean(synth_scores) -
+                                  np.mean(oracle_scores)), 2),
+            "per_utt_synth": [round(s, 2) for s in synth_scores],
+            "per_utt_oracle": [round(s, 2) for s in oracle_scores],
+        }
+        all_synth += synth_scores
+        all_oracle += oracle_scores
 
     result = {
         "metric": "mcd_db",
-        "n_utterances": len(paths),
-        "synth_mcd_db": round(float(np.mean(synth_scores)), 2),
-        "oracle_mcd_db": round(float(np.mean(oracle_scores)), 2),
-        "gap_db": round(float(np.mean(synth_scores) -
-                              np.mean(oracle_scores)), 2),
+        "n_utterances": len(all_synth),
+        "heldout_only": bool(args.heldout),
+        "inference_dropout": args.inference_dropout,
+        "synth_mcd_db": round(float(np.mean(all_synth)), 2),
+        "oracle_mcd_db": round(float(np.mean(all_oracle)), 2),
+        "gap_db": round(float(np.mean(all_synth) - np.mean(all_oracle)), 2),
         "checkpoint_step": synth.step,
-        "per_utt_synth": [round(s, 2) for s in synth_scores],
-        "per_utt_oracle": [round(s, 2) for s in oracle_scores],
+        "per_speaker": per_speaker,
     }
     print(json.dumps(result))
 

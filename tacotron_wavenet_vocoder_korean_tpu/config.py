@@ -333,6 +333,38 @@ def overlay(base: Config, **groups: Dict[str, Any]) -> Config:
     return from_dict(current)
 
 
+def overlay_from_strings(base: Config, assignments) -> Config:
+    """Apply ``group.key=value`` string overrides (the CLI's --hparams flag,
+    mirroring the reference's hparams.parse, e.g. train.py --hparams
+    semantics): values are JSON-parsed (so ``True``/``0.5``/``[1,2]`` work,
+    with Python-style True/False/None accepted), falling back to raw
+    strings.  Unknown groups or keys raise."""
+    groups: Dict[str, Dict[str, Any]] = {}
+    for item in assignments:
+        if "=" not in item or "." not in item.split("=", 1)[0]:
+            raise ValueError(
+                f"bad --hparams entry {item!r}; want group.key=value")
+        key, raw = item.split("=", 1)
+        group, field = key.split(".", 1)
+        py_lits = {"True": True, "False": False, "None": None}
+        if raw in py_lits:
+            val = py_lits[raw]
+        else:
+            try:
+                val = json.loads(raw)
+            except ValueError:
+                val = raw
+        groups.setdefault(group, {})[field] = val
+    current = to_dict(base)
+    for group, upd in groups.items():
+        if group not in current:
+            raise KeyError(f"unknown config group: {group}")
+        for field in upd:
+            if field not in current[group]:
+                raise KeyError(f"unknown field {group}.{field}")
+    return overlay(base, **groups)
+
+
 def debug_string(cfg: Config) -> str:
     """Sorted key dump (reference: hparams.py:194-197)."""
     lines = []

@@ -46,6 +46,26 @@ def test_overlay():
     assert cfg.tacotron.batch_size == 32  # original untouched
 
 
+def test_overlay_from_strings():
+    """--hparams style group.key=value overrides (CLI parity with the
+    reference's hparams.parse strings)."""
+    cfg = C.overlay_from_strings(C.Config(), [
+        "tacotron.fused_rnn=True", "tacotron.batch_size=8",
+        "train.num_test_per_speaker=20", "wavenet.input_type=mulaw",
+        "tacotron.compute_dtype=bfloat16"])
+    assert cfg.tacotron.fused_rnn is True
+    assert cfg.tacotron.batch_size == 8
+    assert cfg.train.num_test_per_speaker == 20
+    assert cfg.wavenet.input_type == "mulaw"
+    assert cfg.tacotron.compute_dtype == "bfloat16"
+    with pytest.raises(KeyError):
+        C.overlay_from_strings(C.Config(), ["tacotron.nope=1"])
+    with pytest.raises(KeyError):
+        C.overlay_from_strings(C.Config(), ["nope.x=1"])
+    with pytest.raises(ValueError):
+        C.overlay_from_strings(C.Config(), ["batch_size=8"])
+
+
 def test_frozen():
     cfg = C.Config()
     with pytest.raises(dataclasses.FrozenInstanceError):

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from tacotron_wavenet_vocoder_korean_tpu.config import (
-    Config, overlay, debug_string)
+    Config, overlay, overlay_from_strings, debug_string)
 from tacotron_wavenet_vocoder_korean_tpu.data import (
     TacotronBatcher, DevicePrefetcher)
 from tacotron_wavenet_vocoder_korean_tpu.train import (
@@ -86,6 +86,8 @@ def train(args):
     })
     if args.max_host_rss_gb is not None:
         cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
+    if args.hparams:
+        cfg = overlay_from_strings(cfg, args.hparams.split(","))
 
     log_dir = args.log_dir or os.path.join(
         "logs", datetime.now().strftime("tacotron_%Y-%m-%d_%H-%M-%S"))
@@ -227,6 +229,10 @@ def main():
     p.add_argument("--model_type", default=None,
                    choices=[None, "single", "simple", "deepvoice"])
     p.add_argument("--skip_path_filter", action="store_true")
+    p.add_argument("--hparams", default=None,
+                   help="comma-separated group.key=value config overrides "
+                        "(e.g. tacotron.fused_rnn=True,"
+                        "train.num_test_per_speaker=20)")
     p.add_argument("--use_mesh", action="store_true",
                    help="shard the batch over all visible devices")
     p.add_argument("--slack_url", default=None)

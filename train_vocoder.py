@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from tacotron_wavenet_vocoder_korean_tpu.config import (
-    Config, overlay, debug_string)
+    Config, overlay, overlay_from_strings, debug_string)
 from tacotron_wavenet_vocoder_korean_tpu.data import (
     WaveNetBatcher, DevicePrefetcher)
 from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
@@ -51,6 +51,8 @@ def train(args):
         cfg = overlay(cfg, wavenet=overrides)
     if args.max_host_rss_gb is not None:
         cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
+    if args.hparams:
+        cfg = overlay_from_strings(cfg, args.hparams.split(","))
 
     log_dir = args.log_dir or os.path.join("logs", "wavenet")
     prepare_run_dir(log_dir, cfg)
@@ -185,6 +187,9 @@ def main():
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--sample_size", type=int, default=None)
     p.add_argument("--use_mesh", action="store_true")
+    p.add_argument("--hparams", default=None,
+                   help="comma-separated group.key=value config overrides "
+                        "(e.g. wavenet.input_type=mulaw-quantize)")
     p.add_argument("--slack_url", default=None)
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. 'cpu' for smoke runs)")
