@@ -197,6 +197,38 @@ def test_pallas_generate_matches_scan_deterministic():
     assert np.std(scan_out) > 0
 
 
+def test_pallas_bf16_weights_close_to_f32_scan():
+    """The production generation path defaults to bfloat16 weights
+    (ops/wavenet_pallas.py pallas_incremental_generate); the exactness
+    tests above pin float32, so this bounds the bf16 drift over the full
+    autoregressive chain against the f32 scan sampler in deterministic
+    mode.  Tolerance is loose (bf16 has ~3 decimal digits) but the signal
+    must stay strongly correlated with the f32 rollout."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
+        pallas_incremental_generate)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import Upsampler
+
+    audio, mel = make_inputs(B=1, frames=16)  # T=160
+    model = WaveNet(TINY)
+    params = model.init(RNG, audio, mel)["params"]
+    lc = Upsampler(TINY).apply({"params": params["upsampler"]}, mel)
+
+    scan_out = np.asarray(incremental_generate(
+        TINY, params, lc, RNG, deterministic=True))[0]
+    with pltpu.force_tpu_interpret_mode():
+        bf16_out = np.asarray(pallas_incremental_generate(
+            TINY, params, lc, RNG, chunk=32, deterministic=True,
+            weight_dtype=jnp.bfloat16))[0]
+
+    err = np.abs(bf16_out - scan_out)
+    denom = np.abs(scan_out).mean() + 1e-8
+    rel = err.mean() / denom
+    corr = np.corrcoef(bf16_out.ravel(), scan_out.ravel())[0, 1]
+    assert corr > 0.99, f"bf16 rollout decorrelated from f32: corr={corr}"
+    assert rel < 0.15, f"bf16 mean drift too large: rel={rel}"
+
+
 @pytest.mark.parametrize("fuse_block", [1, 4])
 def test_pallas_fuse_block_variants_match_scan(fuse_block):
     """The fused residual chain must be exact for any block size: 1 (the

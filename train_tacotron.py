@@ -148,18 +148,33 @@ def train(args):
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     step = start_step
+    # Pipelined dispatch: fetching loss to host every step costs a full
+    # RPC round trip on the tunneled chip (~100ms) and serializes
+    # dispatch with compute.  Only sync at the log cadence; in between,
+    # steps queue on the device and the host races ahead.
+    sync_every = 5
+    t_sync, steps_since_sync = time.time(), 0
     try:
         for batch in feeder:
-            t0 = time.time()
             # opt-in device tracing (reference train_vocoder.py:158-167)
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
                 state, metrics = step_fn(state, batch, rng)
-            loss = float(metrics["loss"])
-            step = int(state.step)
-            time_window.append(time.time() - t0)
+            step += 1
+            steps_since_sync += 1
+            boundary = (step % sync_every == 0
+                        or step % cfg.train.summary_interval == 0
+                        or step % cfg.train.checkpoint_interval == 0
+                        or step % cfg.train.test_interval == 0
+                        or (args.num_steps and step >= args.num_steps))
+            if not boundary:
+                continue
+            loss = float(metrics["loss"])   # drains the dispatch queue
+            now = time.time()
+            time_window.append((now - t_sync) / steps_since_sync)
+            t_sync, steps_since_sync = now, 0
             loss_window.append(loss)
 
-            if step % 5 == 0:
+            if step % sync_every == 0:
                 log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
                     f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
 
