@@ -298,7 +298,9 @@ def make_generate_kernel(cfg: WaveNetConfig, chunk: int, batch: int = 1,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         if not scalar_mode:
-            q_iota = jax.lax.broadcasted_iota(jnp.float32, (1, Q), 1)
+            # Mosaic only allows integer iota; cast to f32 after.
+            q_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Q), 1).astype(jnp.float32)
 
         def step(j, out_acc):
             t = i * chunk + j
