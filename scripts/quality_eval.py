@@ -39,7 +39,11 @@ def main():
                    help="utterances to score per speaker")
     p.add_argument("--heldout", action="store_true",
                    help="score ONLY the run's held-out split (reconstructed "
-                        "with the run config's seed + num_test_per_speaker)")
+                        "with the run config's seed + num_test_per_speaker; "
+                        "--data must list ALL training dirs in train order)")
+    p.add_argument("--skip_path_filter", action="store_true",
+                   help="must match the flag the training run used, or the "
+                        "reconstructed held-out split will differ")
     p.add_argument("--out_dir", default=None,
                    help="optionally save synthesized wavs here")
     p.add_argument("--platform", default=None)
@@ -68,13 +72,22 @@ def main():
                                inference_dropout=inference_dropout)
     cfg = synth.cfg
 
+    heldout_batcher = None
+    if args.heldout:
+        # Reconstruct the training held-out split.  The training batcher
+        # shuffles every dir's paths from ONE RandomState in --data order,
+        # so the split is only reproducible by building a single batcher
+        # over ALL dirs in that same order (a per-dir batcher would reseed
+        # and hold out a different subset for every dir after the first).
+        from tacotron_wavenet_vocoder_korean_tpu.data.loader import (
+            TacotronBatcher)
+        heldout_batcher = TacotronBatcher(
+            args.data, cfg, "test", batch_size=1,
+            apply_filter=not args.skip_path_filter)
+
     def pick_paths(data_dir):
-        if args.heldout:
-            # reconstruct the training held-out split (same rng stream)
-            from tacotron_wavenet_vocoder_korean_tpu.data.loader import (
-                TacotronBatcher)
-            b = TacotronBatcher([data_dir], cfg, "test", batch_size=1)
-            paths = sorted(b.path_dict[data_dir])
+        if heldout_batcher is not None:
+            paths = sorted(heldout_batcher.path_dict[data_dir])
         else:
             paths = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
         # deterministic spread
@@ -105,7 +118,8 @@ def main():
                     wav, os.path.join(args.out_dir, f"{sid}_{base}.synth.wav"),
                     cfg.audio.sample_rate)
 
-        name = os.path.basename(os.path.dirname(data_dir)) or data_dir
+        name = (os.path.basename(os.path.dirname(os.path.normpath(data_dir)))
+                or data_dir)
         per_speaker[name] = {
             "n": len(synth_scores),
             "synth_mcd_db": round(float(np.mean(synth_scores)), 2),

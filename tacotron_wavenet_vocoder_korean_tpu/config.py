@@ -17,7 +17,7 @@ import json
 import math
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 
 @dataclass(frozen=True)
@@ -331,6 +331,25 @@ def overlay(base: Config, **groups: Dict[str, Any]) -> Config:
             raise KeyError(f"unknown config group: {group}")
         current[group].update(upd)
     return from_dict(current)
+
+
+def split_overrides(spec: str) -> List[str]:
+    """Split a ``--hparams`` string on commas that are NOT inside brackets,
+    so list values survive: ``"wavenet.dilations=[1,2,4],tacotron.adam_beta1=0.9"``
+    -> ``["wavenet.dilations=[1,2,4]", "tacotron.adam_beta1=0.9"]``."""
+    parts, buf, depth = [], [], 0
+    for ch in spec:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def overlay_from_strings(base: Config, assignments) -> Config:

@@ -449,6 +449,21 @@ class WaveNetBatcher:
                 paths = (sorted(held) if data_type == "test"
                          else [p for p in paths if p not in held])
             self.path_dict[d] = paths
+
+            # Corpora are companded at PREPROCESS time (corpus.py:47-62:
+            # mulaw-quantize stores int16 class ids, raw/mulaw store float32
+            # in [-1,1]).  Training with a mismatched wavenet.input_type
+            # would converge to garbage silently (e.g. round() of raw floats
+            # yields 3 classes), so fail fast on the storage dtype.
+            with np.load(self.path_dict[d][0]) as f0:
+                dt = f0["audio"].dtype
+            quantized = cfg.wavenet.input_type == "mulaw-quantize"
+            if quantized != np.issubdtype(dt, np.integer):
+                raise ValueError(
+                    f"{d}: corpus audio dtype {dt} does not match "
+                    f"wavenet.input_type={cfg.wavenet.input_type!r} — "
+                    f"re-run preprocess.py with the intended input_type "
+                    f"(quantized corpora store int class ids)")
         self._offset = defaultdict(int)
 
         self.device_store = device_store

@@ -76,6 +76,15 @@ class Synthesizer:
         from ..train.tacotron_task import TacotronTask
 
         self.cfg = load_run_config(checkpoint_dir)
+        if inference_dropout and \
+                not self.cfg.tacotron.dec_prenet_dropout_inference:
+            # The model gates prenet dropout on the config flag AND an rng
+            # being supplied; forcing it ON for a run trained with the flag
+            # off needs the flag flipped too, or the override is a no-op.
+            import dataclasses as _dc
+            self.cfg = _dc.replace(
+                self.cfg, tacotron=_dc.replace(
+                    self.cfg.tacotron, dec_prenet_dropout_inference=True))
         if num_speakers is not None and \
                 num_speakers != self.cfg.tacotron.num_speakers:
             raise ValueError(

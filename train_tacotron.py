@@ -20,7 +20,8 @@ import jax
 import numpy as np
 
 from tacotron_wavenet_vocoder_korean_tpu.config import (
-    Config, overlay, overlay_from_strings, debug_string)
+    Config, overlay, overlay_from_strings, split_overrides,
+    debug_string)
 from tacotron_wavenet_vocoder_korean_tpu.data import (
     TacotronBatcher, DevicePrefetcher)
 from tacotron_wavenet_vocoder_korean_tpu.train import (
@@ -30,6 +31,8 @@ from tacotron_wavenet_vocoder_korean_tpu.parallel import (
     make_mesh, shard_batch)
 from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
     maybe_trace_step)
+from tacotron_wavenet_vocoder_korean_tpu.utils.compile_lock import (
+    COMPILE_LOCK)
 from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
     maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
@@ -87,7 +90,7 @@ def train(args):
     if args.max_host_rss_gb is not None:
         cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
     if args.hparams:
-        cfg = overlay_from_strings(cfg, args.hparams.split(","))
+        cfg = overlay_from_strings(cfg, split_overrides(args.hparams))
 
     log_dir = args.log_dir or os.path.join(
         "logs", datetime.now().strftime("tacotron_%Y-%m-%d_%H-%M-%S"))
@@ -156,9 +159,15 @@ def train(args):
     t_sync, steps_since_sync = time.time(), 0
     try:
         for batch in feeder:
-            # opt-in device tracing (reference train_vocoder.py:158-167)
+            # opt-in device tracing (reference train_vocoder.py:158-167).
+            # COMPILE_LOCK: a new (token,frame) bucket first-compiles here
+            # while the DevicePrefetcher thread may first-compile a gather
+            # for the NEXT bucket — concurrent first-jit deadlocks on this
+            # backend, so both sides serialize on the shared lock (cheap
+            # once compiled: uncontended acquire per dispatch).
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
-                state, metrics = step_fn(state, batch, rng)
+                with COMPILE_LOCK:
+                    state, metrics = step_fn(state, batch, rng)
             step += 1
             steps_since_sync += 1
             boundary = (step % sync_every == 0
@@ -199,7 +208,8 @@ def train(args):
 
             if step % cfg.train.test_interval == 0:
                 test_batch = batch_to_dict(next(test_iter))
-                eval_out = eval_fn(state, test_batch)
+                with COMPILE_LOCK:
+                    eval_out = eval_fn(state, test_batch)
                 log(f"  eval: loss={float(eval_out['loss']):.5f} "
                     f"(train-test gap={float(eval_out['loss']) - loss:+.5f})",
                     slack=True)

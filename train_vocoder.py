@@ -19,7 +19,8 @@ import jax
 import numpy as np
 
 from tacotron_wavenet_vocoder_korean_tpu.config import (
-    Config, overlay, overlay_from_strings, debug_string)
+    Config, overlay, overlay_from_strings, split_overrides,
+    debug_string)
 from tacotron_wavenet_vocoder_korean_tpu.data import (
     WaveNetBatcher, DevicePrefetcher)
 from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
@@ -27,6 +28,8 @@ from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
 from tacotron_wavenet_vocoder_korean_tpu.train import (
     CheckpointManager, prepare_run_dir, load_run_config, restore_into_state)
 from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
+from tacotron_wavenet_vocoder_korean_tpu.utils.compile_lock import (
+    COMPILE_LOCK)
 from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
     maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
@@ -52,7 +55,7 @@ def train(args):
     if args.max_host_rss_gb is not None:
         cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
     if args.hparams:
-        cfg = overlay_from_strings(cfg, args.hparams.split(","))
+        cfg = overlay_from_strings(cfg, split_overrides(args.hparams))
 
     log_dir = args.log_dir or os.path.join("logs", "wavenet")
     prepare_run_dir(log_dir, cfg)
@@ -116,9 +119,13 @@ def train(args):
     t_sync, steps_since_sync = time.time(), 0
     try:
         for batch in feeder:
-            # opt-in device tracing (reference train_vocoder.py:158-167)
+            # opt-in device tracing (reference train_vocoder.py:158-167).
+            # COMPILE_LOCK: serialize this step's possible first-jit against
+            # the DevicePrefetcher thread's gather compiles (concurrent
+            # first-jit deadlocks on this backend; uncontended once warm).
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
-                state, metrics = step_fn(state, batch)
+                with COMPILE_LOCK:
+                    state, metrics = step_fn(state, batch)
             step += 1
             steps_since_sync += 1
             boundary = (step % sync_every == 0
@@ -150,8 +157,9 @@ def train(args):
                 metrics_f.flush()
 
             if step % cfg.train.test_interval == 0:
-                eval_out = eval_fn(state,
-                                   wavenet_batch_to_dict(next(test_iter)))
+                with COMPILE_LOCK:
+                    eval_out = eval_fn(
+                        state, wavenet_batch_to_dict(next(test_iter)))
                 test_loss = float(eval_out["loss"])
                 log(f"  eval: test_loss={test_loss:.5f} "
                     f"(train-test gap={test_loss - loss:+.5f})")
