@@ -66,6 +66,21 @@ def test_overlay_from_strings():
         C.overlay_from_strings(C.Config(), ["batch_size=8"])
 
 
+def test_split_overrides_bracket_aware():
+    """--hparams splitting must not break list values on their commas
+    (reference hparams.parse handles bracketed lists the same way)."""
+    assert C.split_overrides(
+        "wavenet.dilations=[1,2,4],tacotron.adam_beta1=0.9") == [
+            "wavenet.dilations=[1,2,4]", "tacotron.adam_beta1=0.9"]
+    assert C.split_overrides("a.b=1") == ["a.b=1"]
+    assert C.split_overrides(" a.b=1 , c.d=[2,3] ") == ["a.b=1", "c.d=[2,3]"]
+    cfg = C.overlay_from_strings(
+        C.Config(), C.split_overrides(
+            "wavenet.dilations=[1,2,4,8],tacotron.batch_size=8"))
+    assert tuple(cfg.wavenet.dilations) == (1, 2, 4, 8)
+    assert cfg.tacotron.batch_size == 8
+
+
 def test_frozen():
     cfg = C.Config()
     with pytest.raises(dataclasses.FrozenInstanceError):

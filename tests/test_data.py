@@ -151,6 +151,22 @@ def test_wavenet_batcher_heldout_split(moon_subset):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_wavenet_batcher_rejects_input_type_mismatch(moon_subset):
+    """A float corpus (raw/mulaw preprocess) must not silently train a
+    mulaw-quantize model: the batcher fails fast on the stored audio dtype
+    (corpus.py compands at preprocess time — reference keeps companding in
+    the graph, wavenet/model.py:253, so it can't have this mismatch)."""
+    cfg, out_dir, _ = moon_subset
+    quant = overlay(cfg, wavenet={
+        "input_type": "mulaw-quantize", "quantize_channels": 256,
+        "scalar_input": False, "out_channels": 256, "sample_size": 9000})
+    with pytest.raises(ValueError, match="input_type"):
+        D.WaveNetBatcher([out_dir], quant, batch_size=2)
+    # the matching float config still loads
+    ok = overlay(cfg, wavenet={"sample_size": 9000})
+    D.WaveNetBatcher([out_dir], ok, batch_size=2)
+
+
 def test_wavenet_batcher(moon_subset):
     cfg, out_dir, _ = moon_subset
     # bundled clips are ~2s; shrink sample_size so crops fit
