@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Campaign supervisor: keep a train driver running until it finishes cleanly.
+#
+# The train drivers hard-exit with code 42 when their HangWatchdog detects a
+# wedged device RPC (see train/watchdog.py) and exec-restart themselves on
+# host-RSS pressure; anything else nonzero is a real crash, retried a few
+# times in case the chip lease was mid-recovery.  Resumes pass --load_path
+# only once a checkpoint exists so a fresh run initializes normally.
+#
+# Usage:
+#   scripts/supervise.sh LOG_DIR python train_vocoder.py --data_dir D \
+#       --log_dir LOG_DIR --num_steps 250000 ...
+set -u
+LOG_DIR="$1"; shift
+MAX_RETRIES=${MAX_RETRIES:-30}
+tries=0
+while :; do
+    extra=()
+    if [ -d "$LOG_DIR/ckpt" ] && [ -n "$(ls -A "$LOG_DIR/ckpt" 2>/dev/null)" ]
+    then
+        extra=(--load_path "$LOG_DIR")
+    fi
+    "$@" "${extra[@]}"
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+        echo "[supervise] clean exit"; exit 0
+    fi
+    tries=$((tries + 1))
+    if [ "$tries" -ge "$MAX_RETRIES" ]; then
+        echo "[supervise] giving up after $tries failures (last rc=$rc)"
+        exit "$rc"
+    fi
+    # rc=42: hang watchdog fired; the chip recovers when the dead client's
+    # lease expires (~10-20 min) — restart immediately and let the fresh
+    # client block until then (its own watchdog re-fires if still wedged).
+    echo "[supervise] rc=$rc (attempt $tries/$MAX_RETRIES); retrying in 120s"
+    sleep 120
+done

@@ -235,6 +235,14 @@ class TrainConfig:
     # because the tunneled TPU client retains a host copy of every
     # host->device transfer (~batch_size MB leaked per step).  <=0 disables.
     max_host_rss_gb: float = 60.0
+    # Hang watchdog: hard-exit (code 42) if the train loop makes no progress
+    # for this many seconds — a lost RPC on the tunneled chip blocks the loop
+    # (and any checkpoint save) in native code forever, and only the client's
+    # death releases the device lease.  Must comfortably exceed the slowest
+    # single first-compile (~5 min for the biggest Tacotron bucket).  <=0
+    # disables.  Run campaigns under a supervisor loop that resumes with
+    # --load_path when the process exits 42.
+    hang_timeout_s: float = 1200.0
 
 
 @dataclass(frozen=True)

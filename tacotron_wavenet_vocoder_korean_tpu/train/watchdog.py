@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
+import time
 from typing import Callable, List
 
 
@@ -61,6 +63,62 @@ def restart_argv(log_dir: str) -> List[str]:
         out.append(a)
     out += ["--log_dir", log_dir, "--load_path", log_dir]
     return [sys.executable] + out
+
+
+class HangWatchdog:
+    """Hard-exit the process when the train loop stops making progress.
+
+    Why this exists: a lost RPC on the tunneled chip blocks the train loop
+    (and any checkpoint save) in native code FOREVER — observed in the wild:
+    a device->host fetch during a checkpoint save hung >20 min with every
+    thread futex-parked, and even KeyboardInterrupt's save hung on the same
+    wedged transfer.  The only recovery is for this client to DIE so its
+    device lease expires (the chip self-recovers ~10-20 min later) and a
+    supervisor restarts from the last checkpoint (<= checkpoint_interval
+    steps lost).  The train loop calls :meth:`beat` at every sync boundary;
+    a daemon thread calls ``os._exit(EXIT_CODE)`` if no beat arrives within
+    ``timeout_s``.  ``os._exit`` is deliberate: the main thread is wedged in
+    native code, so exceptions/sys.exit cannot run.  Wrap campaigns in e.g.
+    ``until python train_vocoder.py ... --load_path D; do sleep 60; done``.
+    """
+
+    EXIT_CODE = 42
+
+    def __init__(self, timeout_s: float,
+                 log_fn: Callable[[str], None] = print):
+        self.timeout_s = timeout_s
+        self._log = log_fn
+        self._last = time.monotonic()
+        self._stopped = False
+        if timeout_s and timeout_s > 0:
+            t = threading.Thread(target=self._watch, daemon=True,
+                                 name="hang-watchdog")
+            t.start()
+
+    def beat(self) -> None:
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        """Disarm (clean shutdown paths: num_steps reached, Ctrl-C save)."""
+        self._stopped = True
+
+    def _watch(self) -> None:
+        while not self._stopped:
+            time.sleep(min(30.0, self.timeout_s / 4))
+            stalled = time.monotonic() - self._last
+            if not self._stopped and stalled > self.timeout_s:
+                try:
+                    self._log(
+                        f"HangWatchdog: no train-loop progress for "
+                        f"{stalled:.0f}s (> {self.timeout_s:.0f}s) — device "
+                        f"RPC presumed wedged; hard-exiting {self.EXIT_CODE} "
+                        f"so the lease expires and a supervisor can resume "
+                        f"from the last checkpoint")
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                except Exception:
+                    pass
+                os._exit(self.EXIT_CODE)
 
 
 def maybe_exec_restart(log_dir: str, max_rss_gb: float,

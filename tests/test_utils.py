@@ -191,3 +191,40 @@ def test_packed_device_put_exact():
     for a, b in zip(flat_in, flat_out):
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(b), a)
+
+
+def test_hang_watchdog_fires_and_disarms():
+    """HangWatchdog hard-exits 42 when no beat arrives (wedged-RPC recovery)
+    and stays quiet while beats flow / after stop().  Runs in a subprocess
+    because the watchdog uses os._exit."""
+    import subprocess
+    import sys as _sys
+    prog = """
+import sys, time
+sys.path.insert(0, {root!r})
+from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import HangWatchdog
+mode = sys.argv[1]
+dog = HangWatchdog(0.5)
+if mode == "beats":
+    for _ in range(8):
+        time.sleep(0.2)
+        dog.beat()
+    dog.stop()
+    time.sleep(1.2)   # disarmed: must NOT fire after stop()
+    sys.exit(0)
+else:
+    time.sleep(30)    # never beats -> watchdog exits 42
+    sys.exit(1)
+"""
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    prog = prog.format(root=root)
+    r = subprocess.run([_sys.executable, "-c", prog, "hang"], timeout=30)
+    assert r.returncode == HangWatchdogExit()
+    r = subprocess.run([_sys.executable, "-c", prog, "beats"], timeout=30)
+    assert r.returncode == 0
+
+
+def HangWatchdogExit():
+    from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import HangWatchdog
+    return HangWatchdog.EXIT_CODE

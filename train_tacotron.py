@@ -34,7 +34,7 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
 from tacotron_wavenet_vocoder_korean_tpu.utils.compile_lock import (
     COMPILE_LOCK)
 from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
-    maybe_exec_restart)
+    HangWatchdog, maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
     infolog_init, log, ValueWindow, plot)
 from tacotron_wavenet_vocoder_korean_tpu import dsp
@@ -151,6 +151,7 @@ def train(args):
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     step = start_step
+    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log)
     # Pipelined dispatch: fetching loss to host every step costs a full
     # RPC round trip on the tunneled chip (~100ms) and serializes
     # dispatch with compute.  Only sync at the log cadence; in between,
@@ -178,6 +179,7 @@ def train(args):
             if not boundary:
                 continue
             loss = float(metrics["loss"])   # drains the dispatch queue
+            hang_dog.beat()
             now = time.time()
             time_window.append((now - t_sync) / steps_since_sync)
             t_sync, steps_since_sync = now, 0
@@ -234,6 +236,7 @@ def train(args):
     finally:
         feeder.stop()
         ckpt.close()
+        hang_dog.stop()
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (

@@ -31,7 +31,7 @@ from tacotron_wavenet_vocoder_korean_tpu.parallel import make_mesh, shard_batch
 from tacotron_wavenet_vocoder_korean_tpu.utils.compile_lock import (
     COMPILE_LOCK)
 from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
-    maybe_exec_restart)
+    HangWatchdog, maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
     maybe_trace_step)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
@@ -111,6 +111,7 @@ def train(args):
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     step = start_step
     checkpoint_interval = 1000  # reference train_vocoder.py:50
+    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log)
     # Pipelined dispatch: a per-step loss fetch costs a full RPC round
     # trip on the tunneled chip (~100ms) and serializes dispatch with
     # compute.  Sync only at the log cadence; between syncs the host
@@ -136,6 +137,7 @@ def train(args):
             if not boundary:
                 continue
             loss = float(metrics["loss"])   # drains the dispatch queue
+            hang_dog.beat()
             now = time.time()
             time_window.append((now - t_sync) / steps_since_sync)
             t_sync, steps_since_sync = now, 0
@@ -193,6 +195,7 @@ def train(args):
     finally:
         feeder.stop()
         ckpt.close()
+        hang_dog.stop()
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
