@@ -98,6 +98,10 @@ def train(args):
     infolog_init(os.path.join(log_dir, "train.log"),
                  os.path.basename(log_dir), args.slack_url)
     log(debug_string(cfg))
+    # Armed BEFORE any device work: init-phase RPCs (store
+    # upload, init_state, restore) can wedge exactly like a
+    # train step and must also trigger recovery.
+    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log)
 
     mesh = make_mesh() if args.use_mesh else None
     if mesh is not None:
@@ -151,7 +155,6 @@ def train(args):
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     step = start_step
-    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log)
     # Pipelined dispatch: fetching loss to host every step costs a full
     # RPC round trip on the tunneled chip (~100ms) and serializes
     # dispatch with compute.  Only sync at the log cadence; in between,
