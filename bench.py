@@ -260,7 +260,30 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
     enable_compilation_cache)
 
 
+def _arm_deadline(seconds: float) -> None:
+    """Print an honest failure JSON line and exit if the bench can't finish.
+
+    The tunneled chip can wedge (lost RPC blocks compute in native code
+    indefinitely, see train/watchdog.py); without this the bench would hang
+    its caller forever.  os._exit because the main thread may be stuck in
+    native code."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "wavenet_samples_per_sec_per_chip", "value": 0,
+            "unit": "samples/s", "vs_baseline": 0.0,
+            "error": f"bench exceeded {seconds:.0f}s deadline "
+                     f"(device wedged or unavailable)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", 1800)))
     enable_compilation_cache()
     wn = bench_wavenet()
     taco = bench_tacotron()
