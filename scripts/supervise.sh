@@ -33,6 +33,6 @@ while :; do
     # rc=42: hang watchdog fired; the chip recovers when the dead client's
     # lease expires (~10-20 min) — restart immediately and let the fresh
     # client block until then (its own watchdog re-fires if still wedged).
-    echo "[supervise] rc=$rc (attempt $tries/$MAX_RETRIES); retrying in 120s"
-    sleep 120
+    echo "[supervise] rc=$rc (attempt $tries/$MAX_RETRIES); retrying in ${RETRY_SLEEP_S:-120}s"
+    sleep "${RETRY_SLEEP_S:-120}"
 done

@@ -228,3 +228,31 @@ else:
 def HangWatchdogExit():
     from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import HangWatchdog
     return HangWatchdog.EXIT_CODE
+
+
+def test_supervise_script_retries_then_succeeds(tmp_path):
+    """scripts/supervise.sh resumes a crashed campaign: retries non-zero
+    exits and adds --load_path once a checkpoint exists."""
+    import os as _os
+    import subprocess
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _os.path.join(root, "scripts", "supervise.sh")
+    log_dir = tmp_path / "run"
+    (log_dir / "ckpt" / "100").mkdir(parents=True)
+    marker = tmp_path / "count"
+    fake = tmp_path / "fake.sh"
+    fake.write_text(
+        "#!/usr/bin/env bash\n"
+        f"n=$(cat {marker} 2>/dev/null || echo 0)\n"
+        f"echo $((n+1)) > {marker}\n"
+        "echo \"args: $@\"\n"
+        "if [ \"$n\" -lt 2 ]; then exit 42; fi\n"
+        "exit 0\n")
+    fake.chmod(0o755)
+    env = dict(_os.environ, MAX_RETRIES="5", RETRY_SLEEP_S="1")
+    r = subprocess.run(
+        ["bash", script, str(log_dir), str(fake)], env=env,
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert marker.read_text().strip() == "3"   # 2 failures + 1 success
+    assert f"--load_path {log_dir}" in r.stdout  # ckpt exists -> resume flag
