@@ -24,7 +24,7 @@ from tacotron_wavenet_vocoder_korean_tpu.data import preprocess_corpus
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", required=True,
-                        help="corpus name: moon | son | ljspeech")
+                        help="corpus name: moon | son | ljspeech | cmu_arctic")
     parser.add_argument("--in_dir", required=True)
     parser.add_argument("--out_dir", default=None)
     parser.add_argument("--num_workers", type=int, default=1)

@@ -167,10 +167,38 @@ def build_ljspeech(cfg: Config, in_dir: str, out_dir: str,
     return _run_jobs(jobs, out_dir, cfg, num_workers, tqdm)
 
 
+def build_cmu_arctic(cfg: Config, in_dir: str, out_dir: str,
+                     num_workers: int = 1, tqdm=lambda x: x) -> List[Example]:
+    """CMU ARCTIC layout: ``wav/<id>.wav`` plus festival prompt file
+    ``etc/txt.done.data`` with rows ``( arctic_a0001 "Transcript." )``.
+
+    The reference CLI asserts ``--name cmu_arctic`` is valid
+    (preprocess.py:59) but ships no datasets/cmu_arctic.py module; this
+    builder completes that path with the same npz contract as moon/son.
+    Use ``english_cleaners`` in ``cfg.tacotron.cleaners``.
+    """
+    import re
+    os.makedirs(out_dir, exist_ok=True)
+    prompt_path = os.path.join(in_dir, "etc", "txt.done.data")
+    row = re.compile(r'^\(\s*(\S+)\s+"(.*)"\s*\)\s*$')
+    jobs = []
+    with open(prompt_path, encoding="utf-8") as f:
+        for line in f:
+            m = row.match(line.strip())
+            if not m:
+                continue
+            wav_id, text = m.group(1), m.group(2)
+            wav_path = os.path.join(in_dir, "wav", wav_id + ".wav")
+            if os.path.exists(wav_path):
+                jobs.append((wav_path, text))
+    return _run_jobs(jobs, out_dir, cfg, num_workers, tqdm)
+
+
 CORPUS_BUILDERS = {
     "moon": build_moon,
     "son": build_son,
     "ljspeech": build_ljspeech,
+    "cmu_arctic": build_cmu_arctic,
 }
 
 

@@ -87,6 +87,36 @@ def test_ljspeech_builder(tmp_path):
         assert len(d["audio"]) == int(d["mel_frames"]) * cfg.audio.hop_size
 
 
+def test_cmu_arctic_builder(tmp_path):
+    """CMU ARCTIC layout (etc/txt.done.data + wav/) with english_cleaners."""
+    if not HAVE_MOON:
+        pytest.skip("bundled corpus not present (wav fixtures)")
+    in_dir = tmp_path / "cmu_us_slt_arctic"
+    (in_dir / "wav").mkdir(parents=True)
+    (in_dir / "etc").mkdir()
+    src = sorted(os.listdir(os.path.join(MOON_DIR, "audio")))[:2]
+    rows = []
+    for i, name in enumerate(src):
+        wav_id = f"arctic_a{i:04d}"
+        shutil.copy(os.path.join(MOON_DIR, "audio", name),
+                    in_dir / "wav" / f"{wav_id}.wav")
+        rows.append(f'( {wav_id} "Author of the danger trail number {i}." )')
+    # a malformed row the parser must skip
+    rows.append(";; festival comment line")
+    with open(in_dir / "etc" / "txt.done.data", "w", encoding="utf-8") as f:
+        f.write("\n".join(rows) + "\n")
+
+    cfg = overlay(Config(), tacotron={"cleaners": "english_cleaners"})
+    out_dir = tmp_path / "data"
+    examples = D.preprocess_corpus(cfg, "cmu_arctic", str(in_dir),
+                                   str(out_dir), num_workers=1)
+    assert len(examples) == 2
+    with np.load(os.path.join(str(out_dir), "arctic_a0000.npz")) as d:
+        assert "danger trail" in str(d["text"])
+        assert d["tokens"][-1] == 1  # EOS in the English symbol table
+        assert len(d["audio"]) == int(d["mel_frames"]) * cfg.audio.hop_size
+
+
 def test_tacotron_batcher(moon_subset):
     cfg, out_dir, _ = moon_subset
     # relax length filters: bundled clips are short
