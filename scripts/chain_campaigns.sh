@@ -17,6 +17,9 @@ if grep -q "clean exit" "$TACO_LOG"; then
 else
     echo "[chain] tacotron supervisor exited WITHOUT clean exit; trying wavenet anyway"
 fi
+# Gate wavenet relaunches on a cheap device probe so a backend outage costs
+# ~4 min per retry instead of a 20-min hang-watchdog cycle each time.
+export SUPERVISE_PROBE=${SUPERVISE_PROBE:-"python -c 'import jax, jax.numpy as jnp; print(float((jnp.ones((8,128))@jnp.ones((128,128))).sum()))'"}
 exec scripts/supervise.sh logs/wn_moon python train_vocoder.py \
     --data_dir workdir/moon/data --log_dir logs/wn_moon \
     --num_steps 250000 --batch_size 8 --sample_size 15000

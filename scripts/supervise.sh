@@ -10,10 +10,32 @@
 # Usage:
 #   scripts/supervise.sh LOG_DIR python train_vocoder.py --data_dir D \
 #       --log_dir LOG_DIR --num_steps 250000 ...
+# When SUPERVISE_PROBE is set (a shell command, e.g. a tiny on-device
+# matmul), a failed run is followed by a cheap probe loop instead of
+# immediately relaunching the heavy trainer: each retry then costs
+# ~PROBE_TIMEOUT_S instead of a full 20-min hang-watchdog cycle, and probe
+# failures do NOT consume MAX_RETRIES — so a multi-hour backend outage
+# doesn't exhaust the real-crash budget.
 set -u
 LOG_DIR="$1"; shift
 MAX_RETRIES=${MAX_RETRIES:-30}
 tries=0
+
+wait_for_device() {
+    [ -n "${SUPERVISE_PROBE:-}" ] || return 0
+    local pt=0
+    until timeout "${PROBE_TIMEOUT_S:-240}" bash -c "$SUPERVISE_PROBE" \
+            >/dev/null 2>&1; do
+        pt=$((pt + 1))
+        if [ "$pt" -ge "${PROBE_MAX_TRIES:-200}" ]; then
+            echo "[supervise] device probe still failing after $pt tries; giving up"
+            exit 41
+        fi
+        echo "[supervise] device probe failed ($pt/${PROBE_MAX_TRIES:-200}); waiting ${RETRY_SLEEP_S:-120}s"
+        sleep "${RETRY_SLEEP_S:-120}"
+    done
+    echo "[supervise] device probe ok"
+}
 while :; do
     extra=()
     if [ -d "$LOG_DIR/ckpt" ] && [ -n "$(ls -A "$LOG_DIR/ckpt" 2>/dev/null)" ]
@@ -35,4 +57,5 @@ while :; do
     # client block until then (its own watchdog re-fires if still wedged).
     echo "[supervise] rc=$rc (attempt $tries/$MAX_RETRIES); retrying in ${RETRY_SLEEP_S:-120}s"
     sleep "${RETRY_SLEEP_S:-120}"
+    wait_for_device
 done

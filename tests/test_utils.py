@@ -256,3 +256,64 @@ def test_supervise_script_retries_then_succeeds(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert marker.read_text().strip() == "3"   # 2 failures + 1 success
     assert f"--load_path {log_dir}" in r.stdout  # ckpt exists -> resume flag
+
+
+def test_supervise_probe_gates_relaunch_without_consuming_retries(tmp_path):
+    """With SUPERVISE_PROBE set, a failed run is followed by a probe loop:
+    the trainer is NOT relaunched until the probe passes, and probe failures
+    do not consume MAX_RETRIES (outages shouldn't exhaust the crash budget)."""
+    import os as _os
+    import subprocess
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _os.path.join(root, "scripts", "supervise.sh")
+    log_dir = tmp_path / "run"
+    log_dir.mkdir()
+    marker = tmp_path / "count"
+    probe_marker = tmp_path / "probe_count"
+    fake = tmp_path / "fake.sh"
+    fake.write_text(
+        "#!/usr/bin/env bash\n"
+        f"n=$(cat {marker} 2>/dev/null || echo 0)\n"
+        f"echo $((n+1)) > {marker}\n"
+        "if [ \"$n\" -lt 1 ]; then exit 42; fi\n"
+        "exit 0\n")
+    fake.chmod(0o755)
+    # probe fails 3 times, then passes
+    probe = (
+        f"p=$(cat {probe_marker} 2>/dev/null || echo 0); "
+        f"echo $((p+1)) > {probe_marker}; "
+        "[ \"$p\" -ge 3 ]")
+    env = dict(_os.environ, MAX_RETRIES="2", RETRY_SLEEP_S="0",
+               SUPERVISE_PROBE=probe, PROBE_TIMEOUT_S="10",
+               PROBE_MAX_TRIES="10")
+    r = subprocess.run(
+        ["bash", script, str(log_dir), str(fake)], env=env,
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert marker.read_text().strip() == "2"        # 1 failure + 1 success
+    assert probe_marker.read_text().strip() == "4"  # 3 failed probes + 1 ok
+    assert r.stdout.count("device probe failed") == 3
+    assert "device probe ok" in r.stdout
+
+
+def test_supervise_probe_gives_up_after_probe_budget(tmp_path):
+    """A probe that never passes must eventually stop the supervisor (exit
+    41) instead of looping forever."""
+    import os as _os
+    import subprocess
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _os.path.join(root, "scripts", "supervise.sh")
+    log_dir = tmp_path / "run"
+    log_dir.mkdir()
+    fake = tmp_path / "fake.sh"
+    fake.write_text("#!/usr/bin/env bash\nexit 42\n")
+    fake.chmod(0o755)
+    env = dict(_os.environ, MAX_RETRIES="5", RETRY_SLEEP_S="0",
+               SUPERVISE_PROBE="false", PROBE_TIMEOUT_S="5",
+               PROBE_MAX_TRIES="3")
+    r = subprocess.run(
+        ["bash", script, str(log_dir), str(fake)], env=env,
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 41, r.stdout + r.stderr
+    assert r.stdout.count("device probe failed") == 2  # 3rd prints give-up
+    assert "still failing after 3 tries" in r.stdout
