@@ -260,7 +260,7 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
     enable_compilation_cache)
 
 
-def _arm_deadline(seconds: float) -> None:
+def _arm_deadline(seconds: float):
     """Print an honest failure JSON line and exit if the bench can't finish.
 
     The tunneled chip can wedge (lost RPC blocks compute in native code
@@ -280,10 +280,11 @@ def _arm_deadline(seconds: float) -> None:
     t = threading.Timer(seconds, fire)
     t.daemon = True
     t.start()
+    return t
 
 
 def main():
-    _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", 1800)))
+    deadline = _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", 1800)))
     enable_compilation_cache()
     wn = bench_wavenet()
     taco = bench_tacotron()
@@ -317,6 +318,9 @@ def main():
         "wavenet_train_samples_per_sec": round(
             train["wavenet_train_samples_per_sec"], 1),
     }
+    # Cancel BEFORE printing: a near-deadline success must not race the
+    # timer into emitting a second JSON line + exit 3 during teardown.
+    deadline.cancel()
     print(json.dumps(result))
 
 

@@ -56,8 +56,12 @@ def main():
         wav_seed = dsp.load_wav(args.wav_seed, gen.cfg.audio.sample_rate)
 
     def out_name(mel_path, i):
-        if args.out and len(args.mel) == 1:
-            return args.out
+        if args.out:
+            if len(args.mel) == 1:
+                return args.out
+            # N mels with one --out: index the stem (out.wav -> out_0.wav)
+            stem, ext = os.path.splitext(args.out)
+            return f"{stem}_{i}{ext or '.wav'}"
         return mel_path.rsplit(".", 1)[0] + ".gen.wav"
 
     # vocode up to 8 streams per batched launch

@@ -8,7 +8,14 @@
 set -u
 PIDFILE="$1"
 TACO_LOG="$2"
-PID=$(cat "$PIDFILE")
+PID=$(cat "$PIDFILE" 2>/dev/null || true)
+# Fail hard on a missing/empty pidfile or an already-dead PID: an empty
+# PID would skip the wait loop and start the second campaign while the
+# first still owns the single chip (one process at a time — CLAUDE.md).
+if [ -z "$PID" ] || ! kill -0 "$PID" 2>/dev/null; then
+    echo "[chain] pidfile '$PIDFILE' missing/empty or pid '$PID' not alive; refusing to chain" >&2
+    exit 2
+fi
 while kill -0 "$PID" 2>/dev/null; do
     sleep 60
 done

@@ -120,7 +120,9 @@ def main():
 
         name = (os.path.basename(os.path.dirname(os.path.normpath(data_dir)))
                 or data_dir)
-        per_speaker[name] = {
+        # prefix with speaker id: two dirs with the same parent name must
+        # not overwrite each other's breakdown
+        per_speaker[f"{sid}:{name}"] = {
             "n": len(synth_scores),
             "synth_mcd_db": round(float(np.mean(synth_scores)), 2),
             "oracle_mcd_db": round(float(np.mean(oracle_scores)), 2),

@@ -444,10 +444,16 @@ class WaveNetBatcher:
                 raise ValueError(
                     f"no npz with time_steps > {min_length} in {d}")
             n_test = max(1, cfg.train.num_test_per_speaker)
-            if len(paths) >= 2 * n_test + 1:
+            if len(paths) >= 2 * n_test:
                 held = set(sorted(paths)[-n_test:])
                 paths = (sorted(held) if data_type == "test"
                          else [p for p in paths if p not in held])
+            elif data_type == "test":
+                import warnings
+                warnings.warn(
+                    f"{d}: only {len(paths)} usable clips (< 2x "
+                    f"num_test_per_speaker={n_test}) — test stream serves "
+                    f"TRAINING clips; test_loss will understate the gap")
             self.path_dict[d] = paths
 
             # Corpora are companded at PREPROCESS time (corpus.py:47-62:

@@ -131,6 +131,10 @@ class Synthesizer:
         self.inference_dropout = (
             self.cfg.tacotron.dec_prenet_dropout_inference
             if inference_dropout is None else inference_dropout)
+        # _decode closes over self.model and self.inference_dropout; drop a
+        # previously-cached decode so a re-load() with different settings
+        # (e.g. the A/B in quality_eval) can't silently reuse the old one.
+        self.__dict__.pop("_decode", None)
         return self
 
     # ------------------------------------------------------------------

@@ -181,6 +181,36 @@ def test_wavenet_batcher_heldout_split(moon_subset):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_wavenet_batcher_splits_at_exactly_2x_heldout(moon_subset):
+    """Boundary regression: with usable clips == 2*n_test the split must
+    still happen (the old `>= 2*n_test + 1` silently served training clips
+    as the test stream); below 2x a warning must fire."""
+    cfg, out_dir, _ = moon_subset
+    wn = {"sample_size": 9000, "dilations": [1, 2, 4, 8, 16, 32, 64, 128] * 2,
+          "initial_filter_width": 32}
+    probe = D.WaveNetBatcher([out_dir], overlay(cfg, wavenet=wn),
+                             batch_size=2)
+    usable = len(probe.path_dict[out_dir]) + cfg.train.num_test_per_speaker
+    assert usable % 2 == 0 or usable > 3  # need an even-ish corpus
+    n_test = usable // 2
+    cfg2 = overlay(cfg, wavenet=wn,
+                   train={"num_test_per_speaker": n_test})
+    tr = D.WaveNetBatcher([out_dir], cfg2, batch_size=2)
+    te = D.WaveNetBatcher([out_dir], cfg2, batch_size=2, data_type="test")
+    assert len(te.path_dict[out_dir]) == n_test
+    assert not (set(tr.path_dict[out_dir]) & set(te.path_dict[out_dir]))
+    # below the 2x threshold: no split, loud warning
+    import warnings as _w
+    cfg3 = overlay(cfg, wavenet=wn,
+                   train={"num_test_per_speaker": usable})
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        te3 = D.WaveNetBatcher([out_dir], cfg3, batch_size=2,
+                               data_type="test")
+    assert len(te3.path_dict[out_dir]) == usable  # served everything
+    assert any("test stream serves" in str(r.message) for r in rec)
+
+
 def test_wavenet_batcher_rejects_input_type_mismatch(moon_subset):
     """A float corpus (raw/mulaw preprocess) must not silently train a
     mulaw-quantize model: the batcher fails fast on the stored audio dtype
