@@ -89,6 +89,13 @@ def train(args):
     })
     if args.max_host_rss_gb is not None:
         cfg = overlay(cfg, train={"max_host_rss_gb": args.max_host_rss_gb})
+    # Persist the split-defining flag into the run config: resumes and
+    # quality_eval reconstruct the held-out split from params.json, so a
+    # flag that only lived in argv would let a resume silently train on
+    # previously-held-out clips.  CLI can only turn it ON; a resumed run
+    # keeps the recorded value.
+    if args.skip_path_filter:
+        cfg = overlay(cfg, train={"skip_path_filter": True})
     if args.hparams:
         cfg = overlay_from_strings(cfg, split_overrides(args.hparams))
 
@@ -111,15 +118,16 @@ def train(args):
     # data axis, batch gathers become ICI collectives (parity with the
     # single-chip fast path — no fallback to host transfers).
     use_store = cfg.train.device_resident_data
+    apply_filter = not (args.skip_path_filter or cfg.train.skip_path_filter)
     train_batcher = TacotronBatcher(args.data_paths, cfg, "train",
-                                    apply_filter=not args.skip_path_filter,
+                                    apply_filter=apply_filter,
                                     device_store=use_store, mesh=mesh)
     if use_store:
         log(f"device-resident corpus store: "
             f"{train_batcher.store_bytes / 1e6:.0f} MB on device"
             + (" (sharded over the data axis)" if mesh else ""))
     test_batcher = TacotronBatcher(args.data_paths, cfg, "test",
-                                   apply_filter=not args.skip_path_filter)
+                                   apply_filter=apply_filter)
 
     task = TacotronTask(cfg, is_randomly_initialized=not args.initialize_path)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
