@@ -21,9 +21,9 @@ class TTSPipeline:
         self.synth = Synthesizer()
         self.vocoder: Optional[WaveNetGenerator] = None
 
-    def load(self, tacotron_dir: str, wavenet_dir: Optional[str] = None
-             ) -> "TTSPipeline":
-        self.synth.load(tacotron_dir)
+    def load(self, tacotron_dir: str, wavenet_dir: Optional[str] = None,
+             fused_rnn: bool = False) -> "TTSPipeline":
+        self.synth.load(tacotron_dir, fused_rnn=fused_rnn)
         if wavenet_dir:
             self.vocoder = WaveNetGenerator().load(wavenet_dir)
         return self

@@ -27,9 +27,19 @@ def main():
     p.add_argument("--text", action="append", required=True)
     p.add_argument("--out_dir", default="samples")
     p.add_argument("--speaker_id", type=int, action="append", default=None)
+    p.add_argument("--fused_rnn", action="store_true",
+                   help="load the checkpoint through the fused-GRU fast path")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. 'cpu'; this image pins "
+                        "the TPU via sitecustomize, so an env var is not "
+                        "enough)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
-    pipe = TTSPipeline().load(args.tacotron, args.wavenet)
+    pipe = TTSPipeline().load(args.tacotron, args.wavenet,
+                              fused_rnn=args.fused_rnn)
     results = pipe.tts(args.text, base_path=args.out_dir,
                        speaker_ids=args.speaker_id)
     for r in results:
