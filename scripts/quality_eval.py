@@ -81,14 +81,12 @@ def main():
         # and hold out a different subset for every dir after the first).
         from tacotron_wavenet_vocoder_korean_tpu.data.loader import (
             TacotronBatcher)
-        # the run config records whether training skipped the length
-        # filters (train.skip_path_filter) — honoring it keeps the
-        # reconstructed split identical without the caller re-passing
-        # the flag
+        # apply_filter=None derives from the run config
+        # (train.skip_path_filter), so the reconstructed split matches
+        # training without the caller re-passing the flag
         heldout_batcher = TacotronBatcher(
             args.data, cfg, "test", batch_size=1,
-            apply_filter=not (args.skip_path_filter
-                              or cfg.train.skip_path_filter))
+            apply_filter=False if args.skip_path_filter else None)
 
     def pick_paths(data_dir):
         if heldout_batcher is not None:

@@ -34,48 +34,42 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
-    from tacotron_wavenet_vocoder_korean_tpu.config import load_config
     from tacotron_wavenet_vocoder_korean_tpu.models.mixture import (
         sample_from_discretized_mix_logistic)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import WaveNet
+    from tacotron_wavenet_vocoder_korean_tpu.synth.generator import (
+        WaveNetGenerator)
     from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
-        WaveNetTask, wavenet_batch_to_dict)
-    from tacotron_wavenet_vocoder_korean_tpu.train.checkpoints import (
-        CheckpointManager)
+        wavenet_batch_to_dict)
     from tacotron_wavenet_vocoder_korean_tpu.data.loader import WaveNetBatcher
 
-    cfg = load_config(args.wavenet)
-    task = WaveNetTask(cfg)
+    # reuse the generator's restore path (cfg + EMA params + step)
+    gen = WaveNetGenerator().load(args.wavenet)
+    cfg, params = gen.cfg, gen.params
+    model = WaveNet(cfg.wavenet)
     batcher = WaveNetBatcher([args.data], cfg, batch_size=1,
                              data_type="test", seed=args.seed)
     it = iter(batcher)
-    first = next(it)
-    state = task.init_state(jax.random.PRNGKey(0), first)
-    mgr = CheckpointManager(args.wavenet)
-    restored = mgr.restore(jax.tree.map(np.asarray, state))
-    mgr.close()
 
-    apply_fn = jax.jit(lambda params, wav, lc: task.model.apply(
+    apply_fn = jax.jit(lambda params, wav, lc: model.apply(
         {"params": params}, wav, lc, None))
 
     corrs, maes = [], []
-    batch = first
     for i in range(args.n_crops):
-        bd = wavenet_batch_to_dict(batch)
-        out = apply_fn(restored.ema_params, bd["input_wav"],
-                       bd["local_condition"])
-        y = out["raw_output"]
+        bd = wavenet_batch_to_dict(next(it))
+        out = apply_fn(params, bd["input_wav"], bd["local_condition"])
         pred = np.asarray(sample_from_discretized_mix_logistic(
-            jax.random.PRNGKey(i + 1), y))
-        tgt = np.asarray(out["target"])[..., 0] \
-            if np.asarray(out["target"]).ndim == 3 else np.asarray(out["target"])
+            jax.random.PRNGKey(i + 1), out["raw_output"]))
+        tgt = np.asarray(out["target"])
+        if tgt.ndim == 3:
+            tgt = tgt[..., 0]
         n = min(pred.shape[-1], tgt.shape[-1])
         a, b = pred[0, -n:].ravel(), tgt[0, -n:].ravel()
         corrs.append(float(np.corrcoef(a, b)[0, 1]))
         maes.append(float(np.abs(a - b).mean()))
-        batch = next(it)
 
     result = {
-        "step": int(restored.step),
+        "step": gen.step,
         "n_crops": args.n_crops,
         "one_step_ahead_corr": round(float(np.mean(corrs)), 4),
         "one_step_ahead_mae": round(float(np.mean(maes)), 4),

@@ -80,7 +80,8 @@ class TacotronBatcher:
 
     def __init__(self, data_dirs: Sequence[str], cfg: Config,
                  data_type: str = "train", batch_size: Optional[int] = None,
-                 batches_per_group: int = 32, apply_filter: bool = True,
+                 batches_per_group: int = 32,
+                 apply_filter: Optional[bool] = None,
                  token_bucket: int = 16, frame_bucket_iters: int = 10,
                  seed: Optional[int] = None, device_store: bool = False,
                  mesh=None):
@@ -115,6 +116,11 @@ class TacotronBatcher:
         # most of a small corpus — the test-mode iterator cycles the held-out
         # set to fill a batch, so num_test_per_speaker is enough.
         n_test = max(1, cfg.train.num_test_per_speaker)
+        # apply_filter=None derives from the run config: the split-defining
+        # choice is recorded in params.json (train.skip_path_filter), so
+        # resumes and eval tooling reconstruct the same split by default.
+        if apply_filter is None:
+            apply_filter = not cfg.train.skip_path_filter
         for d in self.data_dirs:
             paths = scan_npz_dir(d, cfg, apply_filter)
             if not paths:

@@ -191,7 +191,6 @@ def test_wavenet_batcher_splits_at_exactly_2x_heldout(moon_subset):
     probe = D.WaveNetBatcher([out_dir], overlay(cfg, wavenet=wn),
                              batch_size=2)
     usable = len(probe.path_dict[out_dir]) + cfg.train.num_test_per_speaker
-    assert usable % 2 == 0 or usable > 3  # need an even-ish corpus
     n_test = usable // 2
     cfg2 = overlay(cfg, wavenet=wn,
                    train={"num_test_per_speaker": n_test})

@@ -118,16 +118,15 @@ def train(args):
     # data axis, batch gathers become ICI collectives (parity with the
     # single-chip fast path — no fallback to host transfers).
     use_store = cfg.train.device_resident_data
-    apply_filter = not (args.skip_path_filter or cfg.train.skip_path_filter)
+    # the filter choice was persisted into cfg above; the batcher derives
+    # apply_filter from cfg.train.skip_path_filter
     train_batcher = TacotronBatcher(args.data_paths, cfg, "train",
-                                    apply_filter=apply_filter,
                                     device_store=use_store, mesh=mesh)
     if use_store:
         log(f"device-resident corpus store: "
             f"{train_batcher.store_bytes / 1e6:.0f} MB on device"
             + (" (sharded over the data axis)" if mesh else ""))
-    test_batcher = TacotronBatcher(args.data_paths, cfg, "test",
-                                   apply_filter=apply_filter)
+    test_batcher = TacotronBatcher(args.data_paths, cfg, "test")
 
     task = TacotronTask(cfg, is_randomly_initialized=not args.initialize_path)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
