@@ -20,6 +20,7 @@ from tacotron_wavenet_vocoder_korean_tpu.synth.generator import WaveNetGenerator
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+    add_platform_arg, set_platform,
     enable_compilation_cache)
 
 
@@ -41,12 +42,9 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0,
                    help="softmax sampling temperature (quantized input_type "
                         "only, reference generate.py:55,216-231)")
-    p.add_argument("--platform", default=None,
-                   help="jax platform override (e.g. 'cpu' for smoke runs)")
+    add_platform_arg(p)
     args = p.parse_args()
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
 
     gen = WaveNetGenerator().load(args.load_path, use_ema=not args.no_ema)
 

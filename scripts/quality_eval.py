@@ -46,7 +46,9 @@ def main():
                         "reconstructed held-out split will differ")
     p.add_argument("--out_dir", default=None,
                    help="optionally save synthesized wavs here")
-    p.add_argument("--platform", default=None)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        add_platform_arg)
+    add_platform_arg(p)
     p.add_argument("--fused_rnn", action="store_true",
                    help="use the fused-GRU fast inference path")
     p.add_argument("--inference_dropout", choices=("auto", "on", "off"),
@@ -55,8 +57,8 @@ def main():
                         "the run config (reference keeps it ON, "
                         "tacotron.py:41); 'on'/'off' force it for A/B runs")
     args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import set_platform
+    set_platform(args.platform)
 
     import numpy as np
     from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (

@@ -30,10 +30,11 @@ def main():
     p.add_argument("--max_frames", type=int, default=240,
                    help="cap mel length per utterance (3 s default)")
     p.add_argument("--out_dir", default=None)
-    p.add_argument("--platform", default=None)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        add_platform_arg, set_platform)
+    add_platform_arg(p)
     args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
 
     import numpy as np
     from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (

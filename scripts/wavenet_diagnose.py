@@ -26,12 +26,13 @@ def main():
     p.add_argument("--data", required=True, help="preprocessed corpus dir")
     p.add_argument("--n_crops", type=int, default=4)
     p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--platform", default=None)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        add_platform_arg, set_platform)
+    add_platform_arg(p)
     args = p.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
     import numpy as np
 
     from tacotron_wavenet_vocoder_korean_tpu.models.mixture import (

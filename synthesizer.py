@@ -15,7 +15,7 @@ from tacotron_wavenet_vocoder_korean_tpu.synth import Synthesizer
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
-    enable_compilation_cache)
+    enable_compilation_cache, add_platform_arg, set_platform)
 
 
 def main():
@@ -30,9 +30,13 @@ def main():
                    choices=[0, 1, 2, 3])
     p.add_argument("--no_attention_trim", action="store_true")
     p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--fused_rnn", action="store_true",
+                   help="load the checkpoint through the fused-GRU fast path")
+    add_platform_arg(p)
     args = p.parse_args()
+    set_platform(args.platform)
 
-    synth = Synthesizer().load(args.load_path)
+    synth = Synthesizer().load(args.load_path, fused_rnn=args.fused_rnn)
     results = synth.synthesize(
         args.text, base_path=args.base_path, speaker_ids=args.speaker_id,
         attention_trim=not args.no_attention_trim,

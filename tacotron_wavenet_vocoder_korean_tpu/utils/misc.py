@@ -71,6 +71,25 @@ def enable_compilation_cache(path: str = None) -> None:
         pass  # older jax without the knobs
 
 
+def add_platform_arg(parser) -> None:
+    """Register the standard --platform override every CLI shares.
+
+    The image pins JAX to the tunneled TPU via sitecustomize, so an env var
+    cannot flip the platform — only jax.config.update before first device
+    use can (CLAUDE.md).  'cpu' enables smoke runs without the chip."""
+    parser.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. 'cpu' for smoke runs; the image "
+             "pins the TPU via sitecustomize, so an env var is not enough)")
+
+
+def set_platform(platform: str = None) -> None:
+    """Apply a --platform override (no-op when None)."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+
 def packed_device_put(tree):
     """Transfer a host pytree to device in O(#dtypes) bulk transfers instead
     of O(#leaves) individual ones.

@@ -202,7 +202,7 @@ def train(args):
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
-    enable_compilation_cache)
+    enable_compilation_cache, add_platform_arg, set_platform)
 
 
 def main():
@@ -220,13 +220,11 @@ def main():
                    help="comma-separated group.key=value config overrides "
                         "(e.g. wavenet.input_type=mulaw-quantize)")
     p.add_argument("--slack_url", default=None)
-    p.add_argument("--platform", default=None,
-                   help="jax platform override (e.g. 'cpu' for smoke runs)")
+    add_platform_arg(p)
     p.add_argument("--max_host_rss_gb", type=float, default=None,
                    help="override train.max_host_rss_gb watchdog limit")
     args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
     if args.load_path and args.initialize_path:
         p.error("--load_path and --initialize_path are mutually exclusive")
     train(args)

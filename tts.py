@@ -15,7 +15,7 @@ from tacotron_wavenet_vocoder_korean_tpu.synth import TTSPipeline
 
 
 from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
-    enable_compilation_cache)
+    enable_compilation_cache, add_platform_arg, set_platform)
 
 
 def main():
@@ -29,14 +29,9 @@ def main():
     p.add_argument("--speaker_id", type=int, action="append", default=None)
     p.add_argument("--fused_rnn", action="store_true",
                    help="load the checkpoint through the fused-GRU fast path")
-    p.add_argument("--platform", default=None,
-                   help="jax platform override (e.g. 'cpu'; this image pins "
-                        "the TPU via sitecustomize, so an env var is not "
-                        "enough)")
+    add_platform_arg(p)
     args = p.parse_args()
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
 
     pipe = TTSPipeline().load(args.tacotron, args.wavenet,
                               fused_rnn=args.fused_rnn)
