@@ -106,11 +106,16 @@ def main():
     p.add_argument("--model", default="both",
                    choices=["tacotron", "wavenet", "both"])
     p.add_argument("--iters", type=int, default=12)
-    p.add_argument("--platform", default=None,
-                   help="jax platform override (e.g. 'cpu' for smoke runs)")
+    p.add_argument("--wavenet_batch", type=int, action="append", default=None,
+                   help="wavenet batch size(s) to time (repeatable; default "
+                        "4 — campaign sizing: compare 8 vs 16 at "
+                        "sample_size 15000 to pick the highest samples/sec)")
+    p.add_argument("--sample_size", type=int, default=9000)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        add_platform_arg, set_platform)
+    add_platform_arg(p)
     args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    set_platform(args.platform)
     enable_compilation_cache()
 
     if args.model in ("tacotron", "both"):
@@ -124,10 +129,11 @@ def main():
                                     "fused_rnn": True, "scan_unroll": 8}),
         ], iters=args.iters)
     if args.model in ("wavenet", "both"):
-        bench_wavenet([
-            ("f32", {}),
-            ("bf16", {"compute_dtype": "bfloat16"}),
-        ], iters=args.iters)
+        for B in (args.wavenet_batch or [4]):
+            bench_wavenet([
+                ("f32", {}),
+                ("bf16", {"compute_dtype": "bfloat16"}),
+            ], B=B, sample_size=args.sample_size, iters=args.iters)
 
 
 if __name__ == "__main__":
