@@ -175,6 +175,14 @@ class WaveNetConfig:
     silence_threshold: int = 0
     l2_regularization_strength: float = 0.0
 
+    # Weight normalization (arXiv 1602.07868) on every stack weight — the
+    # r9y9/wavenet_vocoder lineage applies it to all convs and converges
+    # substantially faster; the TF reference dropped it (plain conv1d,
+    # wavenet/model.py:112-167).  Off by default = reference parity.
+    # Checkpoints are NOT layout-compatible across this flag; generation
+    # paths consume ``materialize_wn_params`` output (models/wavenet.py).
+    weight_normalization: bool = False
+
     # Training
     # 'bfloat16' runs the dilated-conv stack in bf16 (params, targets and the
     # MoL loss stay f32); 'float32' is exact.

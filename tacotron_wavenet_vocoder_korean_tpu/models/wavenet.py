@@ -33,6 +33,44 @@ from .mixture import (
     discretized_mix_logistic_loss, sample_from_discretized_mix_logistic)
 
 
+def wn_weight(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Weight normalization (arXiv 1602.07868): w = g * v / ||v||, the norm
+    reduced over every axis but the last (output features)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(v),
+                            axis=tuple(range(v.ndim - 1)),
+                            keepdims=True) + 1e-12)
+    return v * (g / norm)
+
+
+def materialize_wn_params(cfg: WaveNetConfig, params) -> Any:
+    """Convert a weight-normalized param tree to the standard layout.
+
+    Generation consumers (the scan sampler, the Pallas pack, vocoder eval)
+    read weights by their standard flat names; with
+    ``cfg.weight_normalization`` the training tree stores ``<name>_v`` /
+    ``<name>_g`` pairs (and flat ``post_N_kernel/bias`` instead of the Dense
+    submodules).  This folds each pair into ``<name>`` and restores the
+    nested ``post_N`` layout, so everything downstream is agnostic to how
+    the model was trained.  No-op when the flag is off."""
+    if not cfg.weight_normalization:
+        return params
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out[k] = v
+        elif k.endswith("_v"):
+            out[k[:-2]] = wn_weight(v, params[k[:-2] + "_g"])
+        elif not k.endswith("_g"):
+            out[k] = v
+    for p in ("post_1", "post_2"):
+        if p + "_kernel" in out:
+            sub = {"kernel": out.pop(p + "_kernel")}
+            if p + "_bias" in out:
+                sub["bias"] = out.pop(p + "_bias")
+            out[p] = sub
+    return out
+
+
 def _causal_conv(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int,
                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """VALID 1-D conv, NWC layout; kernel [W, Cin, Cout]."""
@@ -112,10 +150,9 @@ class WaveNet(nn.Module):
         # Front causal conv (model.py:41-46).
         width = (cfg.initial_filter_width if cfg.scalar_input
                  else cfg.filter_width)
-        front_kernel = self.param(
-            "causal_kernel", nn.initializers.glorot_normal(),
-            (width, x.shape[-1], cfg.residual_channels))
-        h = _causal_conv(x, front_kernel.astype(dt), 1)
+        front_kernel = self._weight(
+            "causal_kernel", (width, x.shape[-1], cfg.residual_channels), dt)
+        h = _causal_conv(x, front_kernel, 1)
         lc = lc[:, width - 1:, :]
 
         output_width = audio.shape[1] - rf
@@ -127,26 +164,66 @@ class WaveNet(nn.Module):
                                                dt)
             skip_acc = skip if skip_acc is None else skip_acc + skip
 
-        out = nn.Dense(cfg.skip_channels, use_bias=cfg.use_biases,
-                       dtype=dt, name="post_1")(nn.relu(skip_acc))
         n_out = (cfg.out_channels if cfg.scalar_input
                  else cfg.quantization_channels)
-        raw_output = nn.Dense(n_out, use_bias=cfg.use_biases,
-                              dtype=dt, name="post_2")(nn.relu(out))
+        if cfg.weight_normalization:
+            # flat params here; materialize_wn_params rebuilds the nested
+            # post_N/{kernel,bias} layout generation consumers expect
+            w1 = self._weight("post_1_kernel",
+                              (cfg.skip_channels, cfg.skip_channels), dt)
+            out = nn.relu(skip_acc) @ w1
+            if cfg.use_biases:
+                out = out + self.param("post_1_bias", nn.initializers.zeros,
+                                       (cfg.skip_channels,)).astype(dt)
+            w2 = self._weight("post_2_kernel", (cfg.skip_channels, n_out), dt)
+            raw_output = nn.relu(out) @ w2
+            if cfg.use_biases:
+                raw_output = raw_output + self.param(
+                    "post_2_bias", nn.initializers.zeros, (n_out,)).astype(dt)
+        else:
+            out = nn.Dense(cfg.skip_channels, use_bias=cfg.use_biases,
+                           dtype=dt, name="post_1")(nn.relu(skip_acc))
+            raw_output = nn.Dense(n_out, use_bias=cfg.use_biases,
+                                  dtype=dt, name="post_2")(nn.relu(out))
         return {"raw_output": raw_output.astype(jnp.float32),
                 "target": target,
                 "local_condition": lc_full}
+
+    def _weight(self, name: str, shape: Tuple[int, ...],
+                dt=jnp.float32) -> jnp.ndarray:
+        """Stack weight, optionally weight-normalized.
+
+        With ``cfg.weight_normalization`` the param is stored as a direction
+        ``<name>_v`` (glorot init, like the plain path) plus a per-output
+        scale ``<name>_g`` initialized to the ANALYTIC expected glorot
+        column norm — so the initial effective weights match the
+        unnormalized parameterization's statistics (the r9y9 lineage gets
+        this by data-dependent init; flax inits are independent)."""
+        init = nn.initializers.glorot_normal()
+        if not self.cfg.weight_normalization:
+            return self.param(name, init, shape).astype(dt)
+        v = self.param(name + "_v", init, shape)
+        # flax glorot fans: receptive field = prod of non-feature dims
+        rf = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+        std = float(np.sqrt(2.0 / (shape[-2] * rf + shape[-1] * rf)))
+        g0 = std * float(np.sqrt(np.prod(shape[:-1])))  # E||v_col||
+        g = self.param(name + "_g",
+                       lambda rng, s: jnp.full(s, g0, jnp.float32),
+                       (int(shape[-1]),))
+        return wn_weight(v, g).astype(dt)
 
     def _dilation_layer(self, i: int, d: int, h, lc, gc, output_width,
                         dt=jnp.float32):
         cfg = self.cfg
         cast = lambda w: w.astype(dt)
-        conv_filter = self.param(
-            f"layer_{i}_filter_kernel", nn.initializers.glorot_normal(),
-            (cfg.filter_width, cfg.residual_channels, cfg.dilation_channels))
-        conv_gate = self.param(
-            f"layer_{i}_gate_kernel", nn.initializers.glorot_normal(),
-            (cfg.filter_width, cfg.residual_channels, cfg.dilation_channels))
+        conv_filter = self._weight(
+            f"layer_{i}_filter_kernel",
+            (cfg.filter_width, cfg.residual_channels, cfg.dilation_channels),
+            dt)
+        conv_gate = self._weight(
+            f"layer_{i}_gate_kernel",
+            (cfg.filter_width, cfg.residual_channels, cfg.dilation_channels),
+            dt)
         b_filter = b_gate = None
         if cfg.use_biases:
             b_filter = self.param(f"layer_{i}_filter_bias",
@@ -156,41 +233,38 @@ class WaveNet(nn.Module):
                                 nn.initializers.zeros,
                                 (cfg.dilation_channels,))
 
-        filt = _causal_conv(h, cast(conv_filter), d,
+        filt = _causal_conv(h, conv_filter, d,
                             None if b_filter is None else cast(b_filter))
-        gate = _causal_conv(h, cast(conv_gate), d,
+        gate = _causal_conv(h, conv_gate, d,
                             None if b_gate is None else cast(b_gate))
         lc = lc[:, d:, :]                                   # input-aligned
 
-        w_lc_f = self.param(f"layer_{i}_lc_filter",
-                            nn.initializers.glorot_normal(),
-                            (cfg.local_condition_channels,
-                             cfg.dilation_channels))
-        w_lc_g = self.param(f"layer_{i}_lc_gate",
-                            nn.initializers.glorot_normal(),
-                            (cfg.local_condition_channels,
-                             cfg.dilation_channels))
-        filt = filt + lc @ cast(w_lc_f)
-        gate = gate + lc @ cast(w_lc_g)
+        w_lc_f = self._weight(f"layer_{i}_lc_filter",
+                              (cfg.local_condition_channels,
+                               cfg.dilation_channels), dt)
+        w_lc_g = self._weight(f"layer_{i}_lc_gate",
+                              (cfg.local_condition_channels,
+                               cfg.dilation_channels), dt)
+        filt = filt + lc @ w_lc_f
+        gate = gate + lc @ w_lc_g
 
         if gc is not None:
-            w_gc_f = self.param(f"layer_{i}_gc_filter",
-                                nn.initializers.glorot_normal(),
-                                (cfg.gc_channels, cfg.dilation_channels))
-            w_gc_g = self.param(f"layer_{i}_gc_gate",
-                                nn.initializers.glorot_normal(),
-                                (cfg.gc_channels, cfg.dilation_channels))
-            filt = filt + (gc @ cast(w_gc_f))[:, None, :]
-            gate = gate + (gc @ cast(w_gc_g))[:, None, :]
+            w_gc_f = self._weight(f"layer_{i}_gc_filter",
+                                  (cfg.gc_channels, cfg.dilation_channels),
+                                  dt)
+            w_gc_g = self._weight(f"layer_{i}_gc_gate",
+                                  (cfg.gc_channels, cfg.dilation_channels),
+                                  dt)
+            filt = filt + (gc @ w_gc_f)[:, None, :]
+            gate = gate + (gc @ w_gc_g)[:, None, :]
 
         out = jnp.tanh(filt) * jax.nn.sigmoid(gate)
 
-        w_res = self.param(f"layer_{i}_res_kernel",
-                           nn.initializers.glorot_normal(),
-                           (cfg.dilation_channels, cfg.residual_channels))
-        w_skip = self.param(f"layer_{i}_skip_kernel",
-                            nn.initializers.glorot_normal(),
-                            (cfg.dilation_channels, cfg.skip_channels))
+        w_res = self._weight(f"layer_{i}_res_kernel",
+                             (cfg.dilation_channels, cfg.residual_channels),
+                             dt)
+        w_skip = self._weight(f"layer_{i}_skip_kernel",
+                              (cfg.dilation_channels, cfg.skip_channels), dt)
         b_res = b_skip = 0.0
         if cfg.use_biases:
             b_res = self.param(f"layer_{i}_res_bias", nn.initializers.zeros,
@@ -198,9 +272,9 @@ class WaveNet(nn.Module):
             b_skip = self.param(f"layer_{i}_skip_bias", nn.initializers.zeros,
                                 (cfg.skip_channels,))
 
-        skip = out[:, -output_width:, :] @ cast(w_skip) + (
+        skip = out[:, -output_width:, :] @ w_skip + (
             b_skip if isinstance(b_skip, float) else cast(b_skip))
-        transformed = out @ cast(w_res) + (
+        transformed = out @ w_res + (
             b_res if isinstance(b_res, float) else cast(b_res))
         h = h[:, d:, :] + transformed                       # residual
         return h, lc, skip

@@ -95,8 +95,11 @@ class WaveNetGenerator:
         restored = mgr.restore(jax.tree.map(np.asarray, state), step=step)
         mgr.close()
         from ..utils.misc import packed_device_put
-        self.params = packed_device_put(
-            restored.ema_params if use_ema else restored.params)
+        from ..models.wavenet import materialize_wn_params
+        # weight-normalized checkpoints fold to the standard flat layout
+        # here; every generation path below is WN-agnostic
+        self.params = packed_device_put(materialize_wn_params(
+            w, restored.ema_params if use_ema else restored.params))
         self.gc_enable = gc_enable
         self.step = int(restored.step)
         return self

@@ -472,3 +472,80 @@ def test_bfloat16_mixed_precision_close_to_f32():
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) > len(norms) * 0.9
+
+
+def test_weight_norm_materializes_to_standard_model():
+    """wavenet.weight_normalization trains with (v, g) pairs; folding them
+    via materialize_wn_params must reproduce the EXACT standard-layout
+    forward (generation consumers are WN-agnostic).  Also checks the
+    analytic g init keeps the initial output scale close to the plain
+    parameterization's."""
+    import dataclasses
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
+        materialize_wn_params)
+
+    audio, mel = make_inputs()
+    cfg_wn = dataclasses.replace(TINY, weight_normalization=True)
+    wn_model = WaveNet(cfg_wn)
+    wn_params = wn_model.init(RNG, audio, mel)["params"]
+    assert any(k.endswith("_g") for k in wn_params)  # WN layout in effect
+
+    out_wn = wn_model.apply({"params": wn_params}, audio, mel)
+
+    flat = materialize_wn_params(cfg_wn, wn_params)
+    assert not any(k.endswith("_g") or k.endswith("_v") for k in flat)
+    assert "kernel" in flat["post_1"]
+    std_model = WaveNet(TINY)
+    out_std = std_model.apply({"params": flat}, audio, mel)
+    np.testing.assert_allclose(np.asarray(out_wn["raw_output"]),
+                               np.asarray(out_std["raw_output"]),
+                               rtol=1e-5, atol=1e-5)
+
+    # init-scale sanity: WN initial logits within ~3x of the plain init's
+    plain_params = std_model.init(RNG, audio, mel)["params"]
+    out_plain = std_model.apply({"params": plain_params}, audio, mel)
+    s_wn = float(np.std(np.asarray(out_wn["raw_output"])))
+    s_plain = float(np.std(np.asarray(out_plain["raw_output"]))) + 1e-9
+    assert 1 / 3 < s_wn / s_plain < 3, (s_wn, s_plain)
+
+
+def test_weight_norm_train_step_and_generation():
+    """A WN training step runs (grads flow through v AND g) and the scan
+    sampler generates from the materialized params."""
+    import dataclasses
+    from tacotron_wavenet_vocoder_korean_tpu.config import (
+        Config, AudioConfig)
+    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
+        materialize_wn_params, Upsampler)
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask)
+
+    audio, mel = make_inputs()
+    cfg_wn = dataclasses.replace(TINY, weight_normalization=True)
+    cfg = Config(wavenet=cfg_wn,
+                 audio=AudioConfig(hop_size=HOP))
+    task = WaveNetTask(cfg)
+
+    class _B:
+        input_wav = np.asarray(audio)
+        local_condition = np.asarray(mel)
+        speaker_id = np.zeros((2,), np.int32)
+
+    state = task.init_state(RNG, _B)
+    step = jax.jit(task.train_step)
+    batch = {"input_wav": np.asarray(audio),
+             "local_condition": np.asarray(mel),
+             "speaker_id": np.zeros((2,), np.int32)}
+    s1, m1 = step(state, batch)
+    s2, m2 = step(s1, batch)
+    assert np.isfinite(float(m2["loss"]))
+    g_key = next(k for k in state.params if k.endswith("_g"))
+    assert not np.allclose(np.asarray(s2.params[g_key]),
+                           np.asarray(state.params[g_key])), \
+        "g scales did not train"
+
+    flat = materialize_wn_params(cfg_wn, s2.ema_params)
+    lc = Upsampler(cfg_wn).apply(
+        {"params": flat["upsampler"]}, mel[:1])
+    wav = incremental_generate(cfg_wn, flat, lc, RNG, deterministic=True)
+    assert np.isfinite(np.asarray(wav)).all()
