@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Snapshot the latest checkpoint of a run dir into git-tracked artifacts/.
+#
+# Why: run dirs (logs/) are gitignored and the build VMs are ephemeral — a
+# VM reset mid-round destroyed a 93k-step WaveNet campaign.  Snapshotting
+# the newest Orbax step + run config into artifacts/<run>.ckpt.tar.gz (one
+# stable filename per run, replaced in place) makes training progress
+# durable across VM resets; restore with scripts/restore_ckpt.sh.
+#
+# Usage: scripts/snapshot_ckpt.sh LOG_DIR [ARTIFACTS_DIR]
+set -eu
+LOG_DIR="${1%/}"
+ART_DIR="${2:-artifacts}"
+RUN=$(basename "$LOG_DIR")
+CKPT_ROOT="$LOG_DIR/ckpt"
+[ -d "$CKPT_ROOT" ] || { echo "no ckpt/ under $LOG_DIR" >&2; exit 1; }
+# Newest *complete* step dir (orbax writes tmp dirs while saving; those
+# contain a marker suffix and are skipped by the numeric-name filter).
+STEP=$(ls "$CKPT_ROOT" | grep -E '^[0-9]+$' | sort -n | tail -1)
+[ -n "$STEP" ] || { echo "no completed checkpoint step under $CKPT_ROOT" >&2; exit 1; }
+mkdir -p "$ART_DIR"
+TMP="$ART_DIR/.${RUN}.ckpt.tar.gz.tmp"
+# Archive paths relative to the run dir so restore recreates
+# <run>/ckpt/<step>/ plus the run config needed for --load_path resume.
+EXTRA=()
+for f in params.json config.json; do
+    [ -f "$LOG_DIR/$f" ] && EXTRA+=("$f")
+done
+tar czf "$TMP" -C "$LOG_DIR" "ckpt/$STEP" "${EXTRA[@]}"
+mv "$TMP" "$ART_DIR/$RUN.ckpt.tar.gz"
+echo "$STEP" > "$ART_DIR/$RUN.step"
+echo "snapshotted $RUN step $STEP -> $ART_DIR/$RUN.ckpt.tar.gz ($(du -h "$ART_DIR/$RUN.ckpt.tar.gz" | cut -f1))"
