@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# One-shot recovery on a fresh (ephemeral) VM: regenerate the gitignored
+# preprocessed corpora from the read-only reference datasets and restore
+# every checkpoint snapshot from git-tracked artifacts/ into logs/ so
+# campaigns resume where they left off.  Idempotent; safe to re-run.
+#
+# Usage: scripts/bootstrap_vm.sh [REFERENCE_DATASETS_DIR]
+set -eu
+cd "$(dirname "$0")/.."
+REF="${1:-/root/reference/datasets}"
+for corpus in moon son; do
+    if [ ! -f "workdir/$corpus/data/train.txt" ]; then
+        echo "[bootstrap] preprocessing $corpus"
+        python preprocess.py --name "$corpus" --in_dir "$REF/$corpus" \
+            --out_dir "workdir/$corpus/data" --num_workers 4
+    fi
+done
+mkdir -p logs
+for arc in artifacts/*.ckpt.tar.gz; do
+    [ -e "$arc" ] || continue
+    scripts/restore_ckpt.sh "$arc" || true   # refuses if logs/ already has ckpts
+done
+echo "[bootstrap] done; campaigns can resume via scripts/supervise.sh"
