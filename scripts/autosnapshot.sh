@@ -12,7 +12,10 @@ set -u
 LOG_DIR="${1%/}"
 INTERVAL_S="${2:-600}"
 RUN=$(basename "$LOG_DIR")
-cd "$(dirname "$0")/.."
+# Run with cwd at the repo root (campaign copies live in /tmp/runscripts,
+# so $0-relative paths would escape the repo — CLAUDE.md gotcha).
+REPO="${REPO:-/root/repo}"
+cd "$REPO"
 while :; do
     sleep "$INTERVAL_S"
     scripts/snapshot_ckpt.sh "$LOG_DIR" >/dev/null 2>&1 || continue
