@@ -102,6 +102,9 @@ def train(args):
     log_dir = args.log_dir or os.path.join(
         "logs", datetime.now().strftime("tacotron_%Y-%m-%d_%H-%M-%S"))
     prepare_run_dir(log_dir, cfg)
+    stop_path = os.path.join(log_dir, "STOP")
+    if os.path.exists(stop_path):   # stale stop request from a prior run
+        os.remove(stop_path)
     infolog_init(os.path.join(log_dir, "train.log"),
                  os.path.basename(log_dir), args.slack_url)
     log(debug_string(cfg))
@@ -194,6 +197,15 @@ def train(args):
             time_window.append((now - t_sync) / steps_since_sync)
             t_sync, steps_since_sync = now, 0
             loss_window.append(loss)
+
+            if os.path.exists(os.path.join(log_dir, "STOP")):
+                # graceful campaign stop: `touch LOG_DIR/STOP` saves a
+                # checkpoint and exits 0 so the supervisor stops too
+                # (no SIGTERM mid-RPC, which can wedge the chip).
+                log(f"STOP file found; saving checkpoint at step {step} "
+                    "and exiting cleanly")
+                ckpt.save(step, state)
+                break
 
             if step % sync_every == 0:
                 log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
