@@ -181,3 +181,75 @@ def test_wavenet_generator_quantized_temperature(tmp_path):
     assert wav.shape == (4 * hop,)
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() <= 1.0   # decoded out of mu-law space
+
+
+def test_stop_file_graceful_campaign_exit(tmp_path):
+    """Campaign wind-down contract: `touch LOG_DIR/STOP` makes the train
+    driver save a checkpoint and exit 0 (so supervise.sh stops instead of
+    relaunching, and no SIGTERM lands mid-RPC — which can wedge the chip);
+    a stale STOP file left by a previous stop is cleared at startup so the
+    relaunch is not instantly killed."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import time
+
+    from tacotron_wavenet_vocoder_korean_tpu import data as D
+
+    ref = "/root/reference/datasets/moon"
+    if not os.path.exists(os.path.join(ref, "moon-recognition-All.json")):
+        pytest.skip("bundled moon corpus not present")
+    in_dir = tmp_path / "in"
+    (in_dir / "audio").mkdir(parents=True)
+    with open(os.path.join(ref, "moon-recognition-All.json"),
+              encoding="utf-8") as f:
+        full = json.load(f)
+    subset = dict(list(full.items())[:6])
+    for key in subset:
+        name = key.strip().split("/")[-1]
+        shutil.copy(os.path.join(ref, "audio", name), in_dir / "audio" / name)
+    with open(in_dir / "moon-recognition-All.json", "w",
+              encoding="utf-8") as f:
+        json.dump(subset, f, ensure_ascii=False)
+    data_dir = tmp_path / "data"
+    D.preprocess_corpus(Config(), "moon", str(in_dir), str(data_dir),
+                        num_workers=1)
+
+    log_dir = tmp_path / "run"
+    log_dir.mkdir()
+    (log_dir / "STOP").touch()          # stale request from a "previous" run
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train_vocoder.py"),
+         "--platform", "cpu", "--data_dir", str(data_dir),
+         "--log_dir", str(log_dir), "--num_steps", "2000",
+         "--batch_size", "2", "--hparams",
+         "wavenet.dilations=[1,2,4,1,2,4],wavenet.residual_channels=8,"
+         "wavenet.dilation_channels=8,wavenet.skip_channels=16,"
+         "wavenet.out_channels=12,wavenet.initial_filter_width=8,"
+         "wavenet.sample_size=1500"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        train_log = log_dir / "train.log"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(
+                    f"trainer exited rc={proc.returncode} before stepping "
+                    f"(stale STOP not cleared?):\n{out[-2000:]}")
+            if train_log.exists() and "Step " in train_log.read_text():
+                break
+            time.sleep(2)
+        else:
+            raise AssertionError("trainer never reached a train step")
+        (log_dir / "STOP").touch()
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out.decode(errors="replace")[-2000:]
+    assert "STOP file found" in train_log.read_text()
+    ckpts = os.listdir(log_dir / "ckpt")
+    assert ckpts, "graceful stop must leave a checkpoint behind"
