@@ -13,6 +13,7 @@ Extras report Tacotron mel-decode RTF (north star < 0.05).
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,14 +22,81 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# v5e bf16 peak per chip (matmul units).  Used only to contextualize the
+# measured rates — WaveNet AR generation is dependency-latency bound, so
+# the honest headline stays RTF; pct-of-peak makes that auditable.
+_PEAK_BF16_TFLOPS = 197.0
 
-def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
+# One shared result buffer: every suite publishes into it as soon as it
+# finishes, so the deadline thread can emit a valid PARTIAL primary-metric
+# JSON instead of forfeiting the round's number (round-2 BENCH was rc=124
+# with no output at all).
+_BUF = {"metric": "wavenet_samples_per_sec_per_chip", "value": 0,
+        "unit": "samples/s", "vs_baseline": 0.0}
+_BUF_LOCK = threading.Lock()
+_PRINTED = threading.Event()
+_T_START = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 600))
+# BENCH_SMOKE=1 shrinks every suite to CI-validatable shapes (CPU, seconds
+# instead of minutes) — used by tests; never set in a scored run.
+_SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
+_DEFAULT_FRAMES = 4 if _SMOKE else 80
+
+
+def _publish(**fields):
+    with _BUF_LOCK:
+        _BUF.update(fields)
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T_START)
+
+
+def _emit(error: str | None = None):
+    """Print the single JSON line exactly once (success or deadline)."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    with _BUF_LOCK:
+        out = dict(_BUF)
+    if error:
+        out["error"] = error
+    print(json.dumps(out), flush=True)
+
+
+def _xla_flops(jitted, *args) -> float | None:
+    """FLOPs of the compiled computation per XLA's cost model (same shapes
+    hit the in-process/persistent compile cache, so this is cheap)."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _analytic_matmul_flops(params) -> float:
+    """Fallback: 2 FLOPs per weight element per output position — every
+    conv/matmul weight in an AR stack is applied once per sample."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if getattr(leaf, "ndim", 0) >= 2:
+            total += leaf.size
+    return 2.0 * total
+
+
+def bench_wavenet(n_frames: int = None, repeats: int = 3) -> dict:
     from tacotron_wavenet_vocoder_korean_tpu.config import Config
     from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
         WaveNet, Upsampler, incremental_generate)
     from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
         pallas_incremental_generate)
 
+    if n_frames is None:
+        n_frames = _DEFAULT_FRAMES
     cfg = Config()
     w = cfg.wavenet
     hop = cfg.audio.hop_size
@@ -67,9 +135,30 @@ def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
         best = min(best, time.perf_counter() - t0)
     sps = n_samples / best
 
+    # Utilization (VERDICT r2 #6): XLA cost-model FLOPs when available,
+    # analytic 2*weights/sample otherwise.  AR generation is dependency-
+    # latency bound, so this is expected to be ~0.1% of peak — the field
+    # exists so the RTF claim is auditable, not to flatter it.
+    flops_total = _xla_flops(gen, params, mel, rng)
+    analytic = _analytic_matmul_flops(params) * n_samples
+    if flops_total is None or flops_total < 0.1 * analytic:
+        # XLA's cost model undercounts bodies of lax.scan/pallas_call;
+        # fall back to the analytic per-sample weight-reuse count.
+        flops_total = analytic
+    tflops_per_sec = flops_total / best / 1e12
+    _publish(
+        value=round(sps, 1),
+        vs_baseline=round(sps / 24000.0, 4),
+        wavenet_gen_seconds=round(best, 3),
+        wavenet_n_samples=n_samples,
+        wavenet_gen_tflops_per_sec=round(tflops_per_sec, 4),
+        wavenet_gen_pct_of_bf16_peak=round(
+            100.0 * tflops_per_sec / _PEAK_BF16_TFLOPS, 3),
+    )
+
     # Aggregate throughput: 8 streams share the weight-resident kernel.
     agg_sps = None
-    if use_pallas:
+    if use_pallas and _remaining() > 60:
         mel8 = jax.random.normal(rng, (8, frames, cfg.audio.num_mels))
         out8 = gen(params, mel8, rng)
         sync(out8)
@@ -79,6 +168,7 @@ def bench_wavenet(n_frames: int = 80, repeats: int = 3) -> dict:
             sync(gen(params, mel8, rng))
             best8 = min(best8, time.perf_counter() - t0)
         agg_sps = out8.shape[0] * out8.shape[1] / best8
+        _publish(wavenet_aggregate_samples_per_sec_8stream=round(agg_sps, 1))
 
     return {"samples_per_sec": sps, "gen_seconds": best,
             "n_samples": n_samples,
@@ -98,7 +188,7 @@ def bench_tacotron(repeats: int = 3) -> dict:
     taco_cfg = dataclasses.replace(cfg.tacotron, fused_rnn=True,
                                    scan_unroll=8)
     model = Tacotron(cfg=taco_cfg, audio=cfg.audio)
-    B, T_in, max_iters = 1, 96, 200
+    B, T_in, max_iters = 1, 96, (20 if _SMOKE else 200)
     rng = jax.random.PRNGKey(0)
     inputs = jnp.ones((B, T_in), jnp.int32)
     lengths = jnp.full((B,), T_in, jnp.int32)
@@ -131,12 +221,15 @@ def bench_tacotron(repeats: int = 3) -> dict:
 
     frame_shift_s = cfg.audio.hop_size / cfg.audio.sample_rate
     audio_seconds = n_frames * frame_shift_s
+    _publish(tacotron_mel_frames_per_sec=round(n_frames / best, 1),
+             tacotron_decode_rtf=round(best / audio_seconds, 5))
     return {"mel_frames_per_sec": n_frames / best,
             "decode_seconds": best,
             "rtf": best / audio_seconds}
 
 
-def bench_wavenet_quantized(n_frames: int = 80, repeats: int = 3) -> dict:
+def bench_wavenet_quantized(n_frames: int = None,
+                            repeats: int = 3) -> dict:
     """Quantized (mulaw-quantize, 256-way softmax) generation at kernel
     speed — the reference treats this path as first-class
     (wavenet/model.py:225-244)."""
@@ -148,6 +241,8 @@ def bench_wavenet_quantized(n_frames: int = 80, repeats: int = 3) -> dict:
         pallas_incremental_generate)
 
     cfg = Config()
+    if n_frames is None:
+        n_frames = _DEFAULT_FRAMES
     w = dataclasses.replace(cfg.wavenet, input_type="mulaw-quantize",
                             scalar_input=False, out_channels=256)
     hop = cfg.audio.hop_size
@@ -175,6 +270,9 @@ def bench_wavenet_quantized(n_frames: int = 80, repeats: int = 3) -> dict:
         sync(gen(params, mel, rng))
         best = min(best, time.perf_counter() - t0)
     sps = out.shape[1] / best
+    _publish(wavenet_quantized_samples_per_sec=round(sps, 1),
+             wavenet_quantized_realtime_factor=round(
+                 sps / cfg.audio.sample_rate, 3))
     return {"samples_per_sec": sps,
             "realtime_factor": sps / cfg.audio.sample_rate}
 
@@ -200,7 +298,7 @@ def bench_train_steps(repeats: int = 5) -> dict:
     rng = np.random.RandomState(0)
 
     # Tacotron
-    B, T_in, T_out = 32, 128, 400
+    B, T_in, T_out = (2, 16, 40) if _SMOKE else (32, 128, 400)
     batch = TacotronBatch(
         inputs=rng.randint(2, 70, size=(B, T_in)).astype(np.int32),
         input_lengths=np.full((B,), T_in, np.int32),
@@ -224,9 +322,22 @@ def bench_train_steps(repeats: int = 5) -> dict:
         sync(state, metrics)
         times.append(time.perf_counter() - t0)
     taco_sec = float(np.median(times))
+    taco_flops = _xla_flops(step, state, d, key)
+    taco_tfs = taco_flops / taco_sec / 1e12 if taco_flops else None
+    _publish(
+        tacotron_train_sec_per_step_B32=round(taco_sec, 4),
+        tacotron_train_examples_per_sec=round(B / taco_sec, 1),
+        tacotron_train_tflops_per_sec=(
+            round(taco_tfs, 3) if taco_tfs else None),
+        tacotron_train_pct_of_bf16_peak=(
+            round(100.0 * taco_tfs / _PEAK_BF16_TFLOPS, 2)
+            if taco_tfs else None),
+    )
 
     # WaveNet
-    Bw, sample_size = 4, 9000
+    # NOTE: sample_size stays 9000 even in smoke — smaller crops break the
+    # receptive-field/hop alignment the trainer enforces; only batch shrinks.
+    Bw, sample_size = (1, 9000) if _SMOKE else (4, 9000)
     cfg = Config()
     hop = cfg.audio.hop_size
     wbatch = WaveNetBatch(
@@ -247,6 +358,17 @@ def bench_train_steps(repeats: int = 5) -> dict:
         sync(wstate, wmetrics)
         times.append(time.perf_counter() - t0)
     wn_sec = float(np.median(times))
+    wn_flops = _xla_flops(wstep, wstate, wd)
+    wn_tfs = wn_flops / wn_sec / 1e12 if wn_flops else None
+    _publish(
+        wavenet_train_sec_per_step_B4_9k=round(wn_sec, 4),
+        wavenet_train_samples_per_sec=round(Bw * sample_size / wn_sec, 1),
+        wavenet_train_tflops_per_sec=(
+            round(wn_tfs, 3) if wn_tfs else None),
+        wavenet_train_pct_of_bf16_peak=(
+            round(100.0 * wn_tfs / _PEAK_BF16_TFLOPS, 2)
+            if wn_tfs else None),
+    )
 
     return {
         "tacotron_sec_per_step": taco_sec,
@@ -261,20 +383,19 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def _arm_deadline(seconds: float):
-    """Print an honest failure JSON line and exit if the bench can't finish.
+    """Emit the buffered (possibly partial) result and exit if the bench
+    can't finish in time.
 
-    The tunneled chip can wedge (lost RPC blocks compute in native code
-    indefinitely, see train/watchdog.py); without this the bench would hang
-    its caller forever.  os._exit because the main thread may be stuck in
-    native code."""
-    import threading
-
+    Round 2 lost its scoreboard number to exactly this: the driver's
+    external timeout (rc=124) fired before the old in-process 1800 s guard,
+    so nothing was printed.  Now (a) the default budget is 600 s — well
+    under any sane driver window, (b) every suite publishes into _BUF the
+    moment it finishes, so firing mid-extras still reports the primary
+    WaveNet metric measured earlier.  os._exit because the main thread may
+    be stuck in native code (wedged RPC, see train/watchdog.py)."""
     def fire():
-        print(json.dumps({
-            "metric": "wavenet_samples_per_sec_per_chip", "value": 0,
-            "unit": "samples/s", "vs_baseline": 0.0,
-            "error": f"bench exceeded {seconds:.0f}s deadline "
-                     f"(device wedged or unavailable)"}), flush=True)
+        _emit(error=f"deadline after {seconds:.0f}s; fields present were "
+                    f"measured before the cutoff (partial result)")
         os._exit(3)
 
     t = threading.Timer(seconds, fire)
@@ -284,44 +405,33 @@ def _arm_deadline(seconds: float):
 
 
 def main():
-    deadline = _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", 1800)))
+    deadline = _arm_deadline(_DEADLINE_S)
     enable_compilation_cache()
-    wn = bench_wavenet()
-    taco = bench_tacotron()
-    wnq = bench_wavenet_quantized()
-    train = bench_train_steps()
-    result = {
-        "metric": "wavenet_samples_per_sec_per_chip",
-        "value": round(wn["samples_per_sec"], 1),
-        "unit": "samples/s",
-        # realtime factor vs the 24 kHz realtime bar (the reference's CPU
-        # per-sample loop is far below 1.0)
-        "vs_baseline": round(wn["realtime_factor"], 4),
-        "wavenet_gen_seconds": round(wn["gen_seconds"], 3),
-        "wavenet_n_samples": wn["n_samples"],
-        "wavenet_aggregate_samples_per_sec_8stream": (
-            round(wn["aggregate_samples_per_sec"], 1)
-            if wn["aggregate_samples_per_sec"] else None),
-        "tacotron_mel_frames_per_sec": round(taco["mel_frames_per_sec"], 1),
-        "tacotron_decode_rtf": round(taco["rtf"], 5),
-        # quantized (mulaw-quantize/softmax) generation at kernel speed
-        "wavenet_quantized_samples_per_sec": round(wnq["samples_per_sec"], 1),
-        "wavenet_quantized_realtime_factor": round(
-            wnq["realtime_factor"], 3),
-        # training throughput at the documented campaign shapes
-        "tacotron_train_sec_per_step_B32": round(
-            train["tacotron_sec_per_step"], 4),
-        "tacotron_train_examples_per_sec": round(
-            train["tacotron_examples_per_sec"], 1),
-        "wavenet_train_sec_per_step_B4_9k": round(
-            train["wavenet_sec_per_step"], 4),
-        "wavenet_train_samples_per_sec": round(
-            train["wavenet_train_samples_per_sec"], 1),
-    }
+    # Primary metric FIRST — everything after this is gravy the deadline
+    # may cut.  Each suite _publish()es its fields as it completes.
+    suites = [
+        (bench_wavenet, 0),           # primary: always run
+        (bench_tacotron, 45),         # skip extras when the budget is
+        (bench_wavenet_quantized, 45),  # nearly spent — a partial success
+        (bench_train_steps, 60),      # beats a deadline exit 3
+    ]
+    skipped = []
+    for fn, min_needed in suites:
+        if _remaining() < min_needed:
+            skipped.append(fn.__name__)
+            continue
+        try:
+            fn()
+        except Exception as e:  # an extra suite must not kill the primary
+            if fn is bench_wavenet:
+                raise
+            _publish(**{f"{fn.__name__}_error": f"{type(e).__name__}: {e}"})
+    if skipped:
+        _publish(skipped_suites=skipped)
     # Cancel BEFORE printing: a near-deadline success must not race the
     # timer into emitting a second JSON line + exit 3 during teardown.
     deadline.cancel()
-    print(json.dumps(result))
+    _emit()
 
 
 if __name__ == "__main__":
