@@ -16,7 +16,24 @@ import optax
 
 from ..config import Config
 from ..models.wavenet import WaveNet, wavenet_loss
-from ..parallel.mesh import Mesh, batch_sharding
+from ..parallel.mesh import (
+    MODEL_AXIS, Mesh, P, batch_sharding, shard_tree, tree_shardings)
+
+# Tensor parallelism over the model axis: the skip/post stack carries the
+# wide (skip_channels=512) matmuls, so it gets the classic Megatron
+# column->row pair — every layer's skip projection is column-parallel
+# (outputs sharded over skip channels), the relu between is elementwise on
+# the sharded accumulator, and post_1 is row-parallel (contracting dim
+# sharded; XLA's sharding propagation inserts the single all-reduce).
+# post_2 and the thin (32-channel) dilated stack stay replicated — sharding
+# them would trade one cheap all-reduce for per-layer latency on ICI.
+# Shape-validated regex rules (tree_shardings) also catch the
+# weight-normalized `_v`/`_g` companions and the Adam/EMA moment trees.
+WAVENET_TP_RULES = (
+    (r"layer_\d+_skip_kernel", P(None, MODEL_AXIS)),
+    (r"layer_\d+_skip_bias", P(MODEL_AXIS)),
+    (r"post_1.*kernel|post_1_kernel", P(MODEL_AXIS, None)),
+)
 
 
 class WaveNetTrainState(NamedTuple):
@@ -111,13 +128,36 @@ class WaveNetTask:
     def jit_eval_step(self):
         return jax.jit(self.eval_step)
 
+    def state_shardings(self, mesh: Mesh, state: WaveNetTrainState):
+        """Sharding tree for the whole train state: TP rules over the model
+        axis where it has extent, replicated otherwise."""
+        rules = WAVENET_TP_RULES if mesh.shape[MODEL_AXIS] > 1 else ()
+        return tree_shardings(mesh, state, rules)
+
+    def shard_state(self, mesh: Mesh,
+                    state: WaveNetTrainState) -> WaveNetTrainState:
+        """Device-put the state with its TP/replicated shardings (call once
+        after init or restore; the jitted step then preserves placement)."""
+        return shard_tree(mesh, state, self.state_shardings(mesh, state))
+
     def jit_train_step(self, mesh: Optional[Mesh] = None):
         if mesh is None:
             return jax.jit(self.train_step, donate_argnums=0)
         data = batch_sharding(mesh)
         shardings = {k: data for k in
                      ("input_wav", "local_condition", "speaker_id")}
-        return jax.jit(self.train_step,
+        tp = mesh.shape[MODEL_AXIS] > 1
+
+        def step(state, batch):
+            if tp:
+                # Pin the param layout so the partitioner can't undo the
+                # column/row split when propagating from replicated inputs.
+                state = state._replace(params=jax.lax.with_sharding_constraint(
+                    state.params,
+                    tree_shardings(mesh, state.params, WAVENET_TP_RULES)))
+            return self.train_step(state, batch)
+
+        return jax.jit(step,
                        in_shardings=(None, shardings),
                        out_shardings=(None, None),
                        donate_argnums=0)

@@ -549,3 +549,51 @@ def test_weight_norm_train_step_and_generation():
         {"params": flat["upsampler"]}, mel[:1])
     wav = incremental_generate(cfg_wn, flat, lc, RNG, deterministic=True)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_tensor_parallel_train_step_matches_unsharded():
+    """MODEL_AXIS carries real tensor parallelism: with n_model=2 the skip
+    projections are column-parallel and post_1 row-parallel
+    (train/wavenet_task.py WAVENET_TP_RULES).  The sharded step must (a)
+    produce the same loss as the unsharded step and (b) leave the skip/post
+    weights physically sharded over the model axis after the update."""
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config, AudioConfig
+    from tacotron_wavenet_vocoder_korean_tpu.parallel import (
+        MODEL_AXIS, make_mesh, shard_batch)
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask)
+
+    cfg = Config(wavenet=TINY, audio=AudioConfig(hop_size=HOP))
+    audio, mel = make_inputs(B=4)
+    batch = {"input_wav": np.asarray(audio),
+             "local_condition": np.asarray(mel),
+             "speaker_id": np.zeros((4,), np.int32)}
+
+    class _B:
+        input_wav = np.asarray(audio)
+        local_condition = np.asarray(mel)
+        speaker_id = np.zeros((4,), np.int32)
+
+    task = WaveNetTask(cfg)
+    state = task.init_state(RNG, _B)
+
+    # unsharded single-device reference (no donation: state reused below)
+    _, ref_metrics = jax.jit(task.train_step)(state, batch)
+    ref_loss = float(ref_metrics["loss"])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape[MODEL_AXIS] == 2
+    tp_state = task.shard_state(mesh, state)
+    # shard_state placed the TP params before the step ran
+    assert tp_state.params["layer_0_skip_kernel"].sharding.spec[-1] == \
+        MODEL_AXIS
+    step = task.jit_train_step(mesh)
+    new_state, tp_metrics = step(tp_state, shard_batch(mesh, batch))
+
+    assert abs(float(tp_metrics["loss"]) - ref_loss) < 1e-4, \
+        (float(tp_metrics["loss"]), ref_loss)
+    # updated params kept the column/row layout (not resharded to replicated)
+    spec = new_state.params["layer_0_skip_kernel"].sharding.spec
+    assert tuple(spec)[-1] == MODEL_AXIS, spec
+    pspec = new_state.params["post_1"]["kernel"].sharding.spec
+    assert tuple(pspec)[:1] == (MODEL_AXIS,), pspec
