@@ -19,6 +19,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# BENCH_PLATFORM overrides the (sitecustomize-pinned) backend; smoke mode
+# defaults to CPU so validation never contends for the real chip.
+_PLATFORM = os.environ.get(
+    "BENCH_PLATFORM",
+    "cpu" if os.environ.get("BENCH_SMOKE", "") == "1" else "")
+if _PLATFORM:
+    jax.config.update("jax_platforms", _PLATFORM)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,6 +16,11 @@ RUN=$(basename "$LOG_DIR")
 # so $0-relative paths would escape the repo — CLAUDE.md gotcha).
 REPO="${REPO:-/root/repo}"
 cd "$REPO"
+# Liveness marker: supervise.sh refuses to start a campaign whose log_dir
+# has no live autosnapshot (VM resets destroyed unprotected checkpoints
+# twice; durability is policy now, not discipline).
+mkdir -p "$LOG_DIR"
+echo $$ > "$LOG_DIR/.autosnapshot.pid"
 while :; do
     sleep "$INTERVAL_S"
     scripts/snapshot_ckpt.sh "$LOG_DIR" >/dev/null 2>&1 || continue
@@ -23,9 +28,12 @@ while :; do
     if ! git diff --quiet -- "artifacts/$RUN.step" 2>/dev/null \
             || ! git ls-files --error-unmatch "artifacts/$RUN.step" \
                  >/dev/null 2>&1; then
-        git add "artifacts/$RUN.ckpt.tar.gz" "artifacts/$RUN.step" \
+        EVAL=()
+        [ -f "artifacts/$RUN.eval.json" ] && EVAL=("artifacts/$RUN.eval.json")
+        git add "artifacts/$RUN.ckpt.tar.gz" "artifacts/$RUN.step" "${EVAL[@]}" \
             && git commit -q -m "Snapshot $RUN checkpoint at step $STEP" \
                  -- "artifacts/$RUN.ckpt.tar.gz" "artifacts/$RUN.step" \
+                    "${EVAL[@]}" \
             && echo "[autosnapshot] committed $RUN step $STEP"
     fi
 done

@@ -151,6 +151,10 @@ def main():
         "per_speaker": per_speaker,
     }
     print(json.dumps(result))
+    # Persist beside the checkpoint it measures: snapshot_ckpt.sh bundles
+    # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
+    with open(os.path.join(args.tacotron, "eval.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

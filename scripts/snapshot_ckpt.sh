@@ -29,4 +29,10 @@ done
 tar czf "$TMP" -C "$LOG_DIR" "ckpt/$STEP" "${EXTRA[@]}"
 mv "$TMP" "$ART_DIR/$RUN.ckpt.tar.gz"
 echo "$STEP" > "$ART_DIR/$RUN.step"
+# Eval evidence travels with the checkpoint it measures (quality_eval/
+# vocoder_eval write $LOG_DIR/eval.json): committed beside the artifact so
+# quality numbers stay reproducible after a VM reset.
+if [ -f "$LOG_DIR/eval.json" ]; then
+    cp "$LOG_DIR/eval.json" "$ART_DIR/$RUN.eval.json"
+fi
 echo "snapshotted $RUN step $STEP -> $ART_DIR/$RUN.ckpt.tar.gz ($(du -h "$ART_DIR/$RUN.ckpt.tar.gz" | cut -f1))"

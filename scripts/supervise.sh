@@ -21,6 +21,22 @@ LOG_DIR="$1"; shift
 MAX_RETRIES=${MAX_RETRIES:-30}
 tries=0
 
+# Durability guard: refuse to drive a campaign whose log_dir has no live
+# autosnapshot (scripts/autosnapshot.sh writes $LOG_DIR/.autosnapshot.pid).
+# Two VM resets destroyed unprotected checkpoints; snapshotting every
+# flagship run is policy.  Override for throwaway runs with
+# SUPERVISE_NO_SNAPSHOT=1.
+if [ -z "${SUPERVISE_NO_SNAPSHOT:-}" ]; then
+    PIDFILE="$LOG_DIR/.autosnapshot.pid"
+    if ! { [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; }
+    then
+        echo "[supervise] REFUSING to start: no live autosnapshot for" \
+             "$LOG_DIR (start scripts/autosnapshot.sh $LOG_DIR 600 first," \
+             "or set SUPERVISE_NO_SNAPSHOT=1 for a throwaway run)" >&2
+        exit 40
+    fi
+fi
+
 wait_for_device() {
     [ -n "${SUPERVISE_PROBE:-}" ] || return 0
     local pt=0

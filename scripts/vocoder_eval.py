@@ -80,7 +80,7 @@ def main():
             dsp.save_wav(wav, os.path.join(args.out_dir, base + ".wn.wav"),
                          cfg.audio.sample_rate)
 
-    print(json.dumps({
+    result = {
         "metric": "vocoder_mcd_db",
         "n_utterances": len(paths),
         "wavenet_mcd_db": round(float(np.mean(wn_scores)), 2),
@@ -90,7 +90,12 @@ def main():
         "gen_realtime_factor": round(float(np.median(rtfs)), 2),
         "per_utt_wavenet": [round(s, 2) for s in wn_scores],
         "per_utt_gl": [round(s, 2) for s in gl_scores],
-    }))
+    }
+    print(json.dumps(result))
+    # Persist beside the checkpoint it measures: snapshot_ckpt.sh bundles
+    # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
+    with open(os.path.join(args.wavenet, "eval.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
