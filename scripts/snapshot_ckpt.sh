@@ -23,7 +23,9 @@ TMP="$ART_DIR/.${RUN}.ckpt.tar.gz.tmp"
 # Archive paths relative to the run dir so restore recreates
 # <run>/ckpt/<step>/ plus the run config needed for --load_path resume.
 EXTRA=()
-for f in params.json config.json; do
+# metrics.jsonl rides along so the train/eval-loss curve survives VM resets
+# (it is the interim convergence evidence between full quality evals).
+for f in params.json config.json metrics.jsonl eval.json; do
     [ -f "$LOG_DIR/$f" ] && EXTRA+=("$f")
 done
 tar czf "$TMP" -C "$LOG_DIR" "ckpt/$STEP" "${EXTRA[@]}"

@@ -151,6 +151,7 @@ def test_tacotron_batcher_test_mode(moon_subset):
     assert np.array_equal(b1.inputs, b2.inputs)  # static test batches
 
 
+@pytest.mark.slow
 def test_wavenet_batcher_heldout_split(moon_subset):
     """train/test streams are disjoint and deterministic: the last
     num_test_per_speaker clips (sorted) are held out for eval — the eval
@@ -322,6 +323,7 @@ def test_device_store_batches_match_host_path(moon_subset):
             atol=4e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_device_store_train_step(moon_subset):
     """A jitted train step consumes device-store batches directly."""
     import jax
@@ -358,6 +360,7 @@ def test_device_store_train_step(moon_subset):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_device_store_mesh_train_step(moon_subset):
     """Mesh-sharded corpus store: the example dim is sharded over the data
     axis, the batch gather yields batch-sharded dicts, and the SHARDED train
@@ -408,6 +411,7 @@ def test_device_store_mesh_train_step(moon_subset):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_wavenet_device_store_mesh_train_step(moon_subset):
     """WaveNet mesh-sharded clip store feeds the sharded train step."""
     import jax

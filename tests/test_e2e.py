@@ -6,6 +6,9 @@ import jax
 import numpy as np
 import pytest
 
+# Every e2e test compiles full train/synthesis graphs: quick pass skips them.
+pytestmark = pytest.mark.slow
+
 from tacotron_wavenet_vocoder_korean_tpu.config import (
     Config, TacotronConfig, WaveNetConfig, AudioConfig, TrainConfig, overlay)
 from tacotron_wavenet_vocoder_korean_tpu.data.loader import TacotronBatch

@@ -85,6 +85,7 @@ def test_monotonic_attention_is_monotonic():
     assert np.all(np.diff(centroid) > -0.5)       # allows jitter, no jumps back
 
 
+@pytest.mark.slow
 def test_multispeaker_modes():
     for model_type in ("deepvoice", "simple"):
         cfg = tiny_cfg(model_type=model_type, num_speakers=2)
@@ -155,6 +156,7 @@ def test_lr_schedule():
     assert abs(float(sched(39999)) - 1e-3) < 1e-4  # peak ~ initial LR
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     cfg = Config(tacotron=tiny_cfg(initial_phase_step=0))
     task = TacotronTask(cfg, is_randomly_initialized=True)
@@ -179,6 +181,7 @@ def test_train_step_reduces_loss():
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_sharded_train_step():
     """Data-parallel step over the virtual 8-device CPU mesh."""
     mesh = make_mesh()
@@ -325,6 +328,7 @@ def test_safe_cumprod_matches_naive():
     assert np.allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_synthesize_long_splits(tmp_path):
     from tests.test_e2e import tiny_config, make_batch
     from tacotron_wavenet_vocoder_korean_tpu.train import (
@@ -353,6 +357,7 @@ def test_synthesize_long_splits(tmp_path):
     assert os.path.exists(out["mel_path"])
 
 
+@pytest.mark.slow
 def test_bfloat16_mixed_precision_close_to_f32():
     """compute_dtype='bfloat16' keeps f32 params/attention and returns f32
     outputs close to the exact f32 forward; a bf16 train step optimizes."""
@@ -466,6 +471,7 @@ def test_fused_rnn_matches_after_param_conversion(model_type):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_rnn_train_step_optimizes():
     """A train step with fused_rnn=True runs and reduces the loss."""
     cfg = Config(tacotron=tiny_cfg(fused_rnn=True, initial_phase_step=0))
@@ -491,6 +497,7 @@ def test_fused_rnn_train_step_optimizes():
     assert min(losses[1:]) < losses[0]
 
 
+@pytest.mark.slow
 def test_synthesizer_fused_load_matches_unfused(tmp_path):
     """Synthesizer.load(fused_rnn=True) converts an unfused checkpoint on
     the fly and synthesizes the same audio as the unfused path."""
@@ -521,6 +528,7 @@ def test_synthesizer_fused_load_matches_unfused(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_float16_transfer_close_to_f32():
     """transfer_dtype='float16' quantizes targets by ~1e-3 (in [-4,4]);
     the train step upcasts on device and losses stay close to exact f32."""

@@ -193,6 +193,7 @@ def test_packed_device_put_exact():
         np.testing.assert_array_equal(np.asarray(b), a)
 
 
+@pytest.mark.slow
 def test_hang_watchdog_fires_and_disarms():
     """HangWatchdog hard-exits 42 when no beat arrives (wedged-RPC recovery)
     and stays quiet while beats flow / after stop().  Runs in a subprocess
@@ -249,7 +250,8 @@ def test_supervise_script_retries_then_succeeds(tmp_path):
         "if [ \"$n\" -lt 2 ]; then exit 42; fi\n"
         "exit 0\n")
     fake.chmod(0o755)
-    env = dict(_os.environ, MAX_RETRIES="5", RETRY_SLEEP_S="1")
+    env = dict(_os.environ, MAX_RETRIES="5", RETRY_SLEEP_S="1",
+               SUPERVISE_NO_SNAPSHOT="1")
     r = subprocess.run(
         ["bash", script, str(log_dir), str(fake)], env=env,
         capture_output=True, text=True, timeout=600)
@@ -284,6 +286,7 @@ def test_supervise_probe_gates_relaunch_without_consuming_retries(tmp_path):
         f"echo $((p+1)) > {probe_marker}; "
         "[ \"$p\" -ge 3 ]")
     env = dict(_os.environ, MAX_RETRIES="2", RETRY_SLEEP_S="0",
+               SUPERVISE_NO_SNAPSHOT="1",
                SUPERVISE_PROBE=probe, PROBE_TIMEOUT_S="10",
                PROBE_MAX_TRIES="10")
     r = subprocess.run(
@@ -309,6 +312,7 @@ def test_supervise_probe_gives_up_after_probe_budget(tmp_path):
     fake.write_text("#!/usr/bin/env bash\nexit 42\n")
     fake.chmod(0o755)
     env = dict(_os.environ, MAX_RETRIES="5", RETRY_SLEEP_S="0",
+               SUPERVISE_NO_SNAPSHOT="1",
                SUPERVISE_PROBE="false", PROBE_TIMEOUT_S="5",
                PROBE_MAX_TRIES="3")
     r = subprocess.run(
@@ -317,3 +321,40 @@ def test_supervise_probe_gives_up_after_probe_budget(tmp_path):
     assert r.returncode == 41, r.stdout + r.stderr
     assert r.stdout.count("device probe failed") == 2  # 3rd prints give-up
     assert "still failing after 3 tries" in r.stdout
+
+
+def test_supervise_refuses_unsnapshotted_campaign(tmp_path):
+    """Durability policy: supervise.sh exits 40 unless the log_dir has a
+    LIVE autosnapshot pidfile (or SUPERVISE_NO_SNAPSHOT=1 — covered by the
+    other supervise tests).  Two VM resets destroyed unprotected
+    checkpoints; the guard makes snapshotting mandatory, not discipline."""
+    import os as _os
+    import subprocess
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _os.path.join(root, "scripts", "supervise.sh")
+    log_dir = tmp_path / "run"
+    log_dir.mkdir()
+    fake = tmp_path / "fake.sh"
+    fake.write_text("#!/usr/bin/env bash\necho ran\nexit 0\n")
+    fake.chmod(0o755)
+    env = {k: v for k, v in _os.environ.items()
+           if k != "SUPERVISE_NO_SNAPSHOT"}
+
+    # no pidfile at all -> refused
+    r = subprocess.run(["bash", script, str(log_dir), str(fake)], env=env,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 40, r.stdout + r.stderr
+    assert "ran" not in r.stdout
+
+    # stale pidfile (dead process) -> still refused
+    (log_dir / ".autosnapshot.pid").write_text("999999999")
+    r = subprocess.run(["bash", script, str(log_dir), str(fake)], env=env,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 40, r.stdout + r.stderr
+
+    # live pid -> campaign runs
+    (log_dir / ".autosnapshot.pid").write_text(str(_os.getpid()))
+    r = subprocess.run(["bash", script, str(log_dir), str(fake)], env=env,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ran" in r.stdout

@@ -52,6 +52,7 @@ def test_training_forward_and_loss():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_training_gradient_flows():
     audio, mel = make_inputs()
     model = WaveNet(TINY)
@@ -140,6 +141,7 @@ def test_global_conditioning_changes_output():
                            np.asarray(out1["raw_output"]))
 
 
+@pytest.mark.slow
 def test_mixture_loss_and_sampling():
     rng = np.random.RandomState(0)
     y_hat = jnp.asarray(rng.randn(4, 50, 30), jnp.float32)
@@ -170,6 +172,7 @@ def test_gen_state_shapes():
     assert st.layer_bufs[2].shape == (3, 4, 8)
 
 
+@pytest.mark.slow
 def test_pallas_generate_matches_scan_deterministic():
     """The persistent Pallas kernel must equal the scan sampler exactly in
     deterministic mode (argmax mixture mean, no noise)."""
@@ -449,6 +452,7 @@ def test_pallas_fuse_block_mismatch_guarded():
                             deterministic=True, fuse_block=2)
 
 
+@pytest.mark.slow
 def test_bfloat16_mixed_precision_close_to_f32():
     """compute_dtype='bfloat16' computes the dilated stack in bf16 with f32
     params and f32 logits close to the exact forward; gradients flow."""
@@ -551,6 +555,7 @@ def test_weight_norm_train_step_and_generation():
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_tensor_parallel_train_step_matches_unsharded():
     """MODEL_AXIS carries real tensor parallelism: with n_model=2 the skip
     projections are column-parallel and post_1 row-parallel
