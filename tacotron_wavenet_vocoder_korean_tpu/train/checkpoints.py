@@ -31,8 +31,12 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any) -> None:
+        # packed_host_get fetches the whole state in O(#dtypes) transfers;
+        # a per-leaf np.asarray costs ~1 s of tunnel latency per leaf and
+        # stalled the train loop ~60 s per save
+        from ..utils.misc import packed_host_get
         self._mgr.save(step, args=ocp.args.StandardSave(
-            jax.tree.map(np.asarray, state)))
+            packed_host_get(state)))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -75,8 +79,19 @@ def restore_into_state(task_state, load_path: Optional[str],
     if not load_path and not initialize_path:
         return task_state, 0
     src = load_path or initialize_path
+
+    def _host_template(x):
+        # shape/dtype metadata only — np.asarray on a device leaf would pay
+        # one ~1 s tunnel round-trip per leaf (~10 min for a train state).
+        # Accepts concrete arrays and jax.ShapeDtypeStruct alike, so callers
+        # resuming a run can pass a jax.eval_shape'd abstract state and skip
+        # on-device initialization entirely.
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return np.empty(x.shape, x.dtype)
+        return np.asarray(x)
+
     mgr = mgr_cls(src)
-    restored = mgr.restore(jax.tree.map(np.asarray, task_state))
+    restored = mgr.restore(jax.tree.map(_host_template, task_state))
     mgr.close()
     if initialize_path:
         restored = restored._replace(step=np.zeros((), np.int32))

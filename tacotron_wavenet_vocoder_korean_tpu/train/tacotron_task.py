@@ -62,6 +62,30 @@ class TacotronTask:
             opt_state=self.tx.init(params),
         )
 
+    def abstract_state(self, rng: jax.Array, example_batch):
+        """Shape/dtype skeleton of :meth:`init_state` via ``jax.eval_shape``
+        — zero device work.  A resuming run restores a checkpoint into this
+        skeleton (restore_into_state builds host templates from metadata),
+        so restarts skip the eager on-device init entirely."""
+        get = (example_batch.__getitem__ if isinstance(example_batch, dict)
+               else lambda k: getattr(example_batch, k))
+
+        def _init(rng, inputs, input_lengths, speaker_id, mel_targets):
+            variables = self.model.init(
+                {"params": rng, "dropout": rng}, inputs, input_lengths,
+                speaker_id=speaker_id,
+                mel_targets=mel_targets.astype(jnp.float32), train=True)
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=variables.get("batch_stats", FrozenDict()),
+                opt_state=self.tx.init(params))
+
+        return jax.eval_shape(
+            _init, rng, get("inputs"), get("input_lengths"),
+            get("speaker_id"), get("mel_targets"))
+
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}

@@ -90,6 +90,26 @@ class WaveNetTask:
             opt_state=self.tx.init(params),
         )
 
+    def abstract_state(self, rng: jax.Array, example_batch):
+        """Shape/dtype skeleton of :meth:`init_state` via ``jax.eval_shape``
+        — zero device work.  A resuming run restores a checkpoint into this
+        skeleton (restore_into_state builds host templates from metadata),
+        so restarts skip the ~5 min eager on-device init entirely."""
+        get = (example_batch.__getitem__ if isinstance(example_batch, dict)
+               else lambda k: getattr(example_batch, k))
+        sid = get("speaker_id") if self.gc_enable else None
+
+        def _init(rng, wav, lc, sid):
+            params = self.model.init(rng, wav, lc, sid)["params"]
+            return WaveNetTrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                ema_params=jax.tree.map(jnp.copy, params),
+                opt_state=self.tx.init(params))
+
+        return jax.eval_shape(_init, rng, get("input_wav"),
+                              get("local_condition"), sid)
+
     def loss_fn(self, params, batch):
         sid = batch["speaker_id"] if self.gc_enable else None
         out = self.model.apply({"params": params}, batch["input_wav"],

@@ -126,3 +126,57 @@ def packed_device_put(tree):
         for (i, _), dev in zip(items, parts):
             out[i] = dev
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _ravel_concat_impl(xs):
+    import jax.numpy as jnp
+    flats = [x.ravel() for x in xs]
+    return jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+
+
+_ravel_concat_jitted = None
+
+
+def _ravel_concat(xs):
+    global _ravel_concat_jitted
+    if _ravel_concat_jitted is None:
+        import jax
+        _ravel_concat_jitted = jax.jit(_ravel_concat_impl)
+    return _ravel_concat_jitted(xs)
+
+
+def packed_host_get(tree):
+    """Inverse of :func:`packed_device_put`: fetch a device pytree to host
+    numpy in O(#dtypes) bulk transfers instead of O(#leaves) individual ones.
+
+    ``jax.tree.map(np.asarray, state)`` pays the tunneled client's ~1 s
+    round-trip per leaf, which made every checkpoint save stall the train
+    loop for ~60 s.  Concatenating all same-dtype leaves on-device (one
+    compiled program, cached on shapes) and pulling each flat buffer in a
+    single transfer makes a save cost ~2 s.  Host-resident leaves are
+    passed through ``np.asarray`` untouched (no transfer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [None] * len(leaves)
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            groups.setdefault(jnp.dtype(leaf.dtype).str, []).append((i, leaf))
+        else:
+            out[i] = np.asarray(leaf)
+
+    for _, items in groups.items():
+        arrs = [a for _, a in items]
+        # the module-level jitted helper caches on the (structure, shapes)
+        # signature, so repeated saves of the same train state reuse one
+        # executable
+        flat = np.asarray(_ravel_concat(arrs))
+        off = 0
+        for i, a in items:
+            size = int(np.prod(a.shape)) if a.shape else 1
+            out[i] = flat[off:off + size].reshape(a.shape)
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -256,3 +256,38 @@ def test_stop_file_graceful_campaign_exit(tmp_path):
     assert "STOP file found" in train_log.read_text()
     ckpts = os.listdir(log_dir / "ckpt")
     assert ckpts, "graceful stop must leave a checkpoint behind"
+
+    # Resume leg: --load_path restores through the eval_shape skeleton
+    # (abstract_state) — no on-device init — and keeps stepping from the
+    # saved step (supervise.sh's relaunch contract).
+    stepped_log_len = len(train_log.read_text())
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train_vocoder.py"),
+         "--platform", "cpu", "--data_dir", str(data_dir),
+         "--log_dir", str(log_dir), "--load_path", str(log_dir),
+         "--num_steps", "2000", "--batch_size", "2", "--hparams",
+         "wavenet.dilations=[1,2,4,1,2,4],wavenet.residual_channels=8,"
+         "wavenet.dilation_channels=8,wavenet.skip_channels=16,"
+         "wavenet.out_channels=12,wavenet.initial_filter_width=8,"
+         "wavenet.sample_size=1500"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(
+                    f"resumed trainer exited rc={proc.returncode} before "
+                    f"stepping:\n{out[-2000:]}")
+            tail = train_log.read_text()[stepped_log_len:]
+            if "Resuming from step" in tail and "Step " in tail:
+                break
+            time.sleep(2)
+        else:
+            raise AssertionError("resumed trainer never reached a train step")
+        (log_dir / "STOP").touch()
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out.decode(errors="replace")[-2000:]

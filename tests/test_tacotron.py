@@ -584,3 +584,19 @@ def test_teacher_forcing_is_causal():
                                rtol=1e-5, atol=1e-5)
     # the perturbation must reach later blocks (teacher input at step 2)
     assert np.abs(got[:, 2 * r:] - base[:, 2 * r:]).max() > 1e-3
+
+
+def test_abstract_state_matches_init_state():
+    """abstract_state (the zero-device-work resume skeleton) agrees with
+    init_state on tree structure, shapes, and dtypes."""
+    cfg = Config(tacotron=tiny_cfg())
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    batch = make_batch()
+    concrete = task.init_state(RNG, batch)
+    abstract = task.abstract_state(RNG, batch)
+    cl, ct = jax.tree_util.tree_flatten(concrete)
+    al, at = jax.tree_util.tree_flatten(abstract)
+    assert ct == at
+    for c, a in zip(cl, al):
+        assert isinstance(a, jax.ShapeDtypeStruct)
+        assert c.shape == a.shape and c.dtype == a.dtype

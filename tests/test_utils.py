@@ -193,6 +193,70 @@ def test_packed_device_put_exact():
         np.testing.assert_array_equal(np.asarray(b), a)
 
 
+def test_packed_host_get_exact():
+    """packed_host_get (the O(#dtypes) device->host fetch used by checkpoint
+    save) round-trips a mixed device/host pytree exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
+        packed_host_get)
+    rng = np.random.RandomState(1)
+    tree = {
+        "a": jnp.asarray(rng.randn(3, 5), jnp.float32),
+        "b": {"c": jnp.asarray(rng.randn(7), jnp.float32),
+              "d": jnp.arange(4, dtype=jnp.int32),
+              "e": jnp.asarray(rng.randn(2, 2, 2), jnp.bfloat16)},
+        "f": jnp.asarray(3, jnp.int32),                # 0-d device scalar
+        "g": rng.randn(1, 1).astype(np.float32),       # host leaf: no transfer
+        "h": 7,                                        # python scalar
+    }
+    out = packed_host_get(tree)
+    flat_in, tin = jax.tree_util.tree_flatten(tree)
+    flat_out, tout = jax.tree_util.tree_flatten(out)
+    assert tin == tout and len(flat_in) == len(flat_out)
+    for a, b in zip(flat_in, flat_out):
+        assert isinstance(b, np.ndarray)
+        assert np.shape(a) == b.shape
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+
+def test_restore_into_abstract_skeleton(tmp_path):
+    """restore_into_state accepts a jax.eval_shape skeleton (no concrete
+    buffers), so resuming runs skip on-device init entirely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tacotron_wavenet_vocoder_korean_tpu.train.checkpoints import (
+        CheckpointManager, restore_into_state)
+    from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+        TrainState)
+
+    state = TrainState(
+        step=jnp.asarray(11, jnp.int32),
+        params={"w": jnp.arange(6.0).reshape(2, 3),
+                "b": jnp.full((4,), 2.5)},
+        batch_stats={},
+        opt_state=(jnp.ones(3),))
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=1)
+    mgr.save(11, state)
+    mgr.close()
+
+    def _skeleton():
+        return TrainState(jnp.zeros((), jnp.int32),
+                          {"w": jnp.zeros((2, 3)), "b": jnp.zeros((4,))},
+                          {}, (jnp.zeros(3),))
+
+    abstract = jax.eval_shape(_skeleton)
+    assert isinstance(jax.tree.leaves(abstract)[0], jax.ShapeDtypeStruct)
+    st, start = restore_into_state(abstract, str(tmp_path), None)
+    assert start == 11
+    np.testing.assert_allclose(np.asarray(st.params["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(st.params["b"]), 2.5)
+    np.testing.assert_allclose(np.asarray(st.opt_state[0]), 1.0)
+
+
 @pytest.mark.slow
 def test_hang_watchdog_fires_and_disarms():
     """HangWatchdog hard-exits 42 when no beat arrives (wedged-RPC recovery)

@@ -602,3 +602,30 @@ def test_tensor_parallel_train_step_matches_unsharded():
     assert tuple(spec)[-1] == MODEL_AXIS, spec
     pspec = new_state.params["post_1"]["kernel"].sharding.spec
     assert tuple(pspec)[:1] == (MODEL_AXIS,), pspec
+
+
+def test_abstract_state_matches_init_state():
+    """abstract_state (the zero-device-work resume skeleton) agrees with
+    init_state on tree structure, shapes, and dtypes."""
+    from tacotron_wavenet_vocoder_korean_tpu.config import (
+        AudioConfig, Config)
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask)
+
+    audio, mel = make_inputs()
+    cfg = Config(wavenet=TINY, audio=AudioConfig(hop_size=HOP))
+    task = WaveNetTask(cfg)
+
+    class _B:
+        input_wav = np.asarray(audio)
+        local_condition = np.asarray(mel)
+        speaker_id = np.zeros((2,), np.int32)
+
+    concrete = task.init_state(RNG, _B)
+    abstract = task.abstract_state(RNG, _B)
+    cl, ct = jax.tree_util.tree_flatten(concrete)
+    al, at = jax.tree_util.tree_flatten(abstract)
+    assert ct == at
+    for c, a in zip(cl, al):
+        assert isinstance(a, jax.ShapeDtypeStruct)
+        assert c.shape == a.shape and c.dtype == a.dtype

@@ -135,7 +135,13 @@ def train(args):
     rng = jax.random.PRNGKey(cfg.train.random_seed)
 
     first_batch = next(iter(train_batcher))
-    state = task.init_state(rng, first_batch)
+    # resuming runs restore into an eval_shape skeleton — the eager
+    # on-device init pays per-op tunnel round-trips and its values
+    # would be discarded by the restore anyway
+    if args.load_path or args.initialize_path:
+        state = task.abstract_state(rng, first_batch)
+    else:
+        state = task.init_state(rng, first_batch)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
     log(f"Initialized Tacotron: {n_params:,} params, "

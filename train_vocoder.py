@@ -83,7 +83,13 @@ def train(args):
     rng = jax.random.PRNGKey(cfg.train.random_seed)
 
     first = next(iter(batcher))
-    state = task.init_state(rng, first)
+    # resuming runs restore into an eval_shape skeleton — the eager
+    # on-device init costs ~5 min of per-op tunnel round-trips and its
+    # values would be discarded by the restore anyway
+    if args.load_path or args.initialize_path:
+        state = task.abstract_state(rng, first)
+    else:
+        state = task.init_state(rng, first)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
     log(f"Initialized WaveNet: {n_params:,} params, "
