@@ -243,6 +243,15 @@ class TrainConfig:
     # because the tunneled TPU client retains a host copy of every
     # host->device transfer (~batch_size MB leaked per step).  <=0 disables.
     max_host_rss_gb: float = 60.0
+    # Slowdown watchdog: the same per-transfer host leak also progressively
+    # slows the whole RPC path — measured: a fresh WaveNet campaign process
+    # steps at ~0.12 s/step and degrades to ~0.18 s/step (+50%) within ~2 h,
+    # long before the RSS limit.  When the median recent step time exceeds
+    # this ratio times the best median seen in this process, the driver
+    # checkpoints and exec-restarts itself (the eval_shape-skeleton restore
+    # makes the resume cost ~35 s, so restarting early nets ~10-20% campaign
+    # throughput).  <=1 disables.
+    restart_slowdown_ratio: float = 1.25
     # Hang watchdog: hard-exit (code 42) if the train loop makes no progress
     # for this many seconds — a lost RPC on the tunneled chip blocks the loop
     # (and any checkpoint save) in native code forever, and only the client's

@@ -13,9 +13,11 @@ process.  The persistent XLA compile cache makes the restart cheap.
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import threading
 import time
+from collections import deque
 from typing import Callable, List
 
 
@@ -121,23 +123,81 @@ class HangWatchdog:
                 os._exit(self.EXIT_CODE)
 
 
+def exec_restart(log_dir: str, save_fn: Callable[[], None],
+                 log_fn: Callable[[str], None], reason: str) -> None:
+    """Save a checkpoint and replace this process with a fresh resume of the
+    same command (``--load_path=<log_dir>``).  Never returns (``os.execv``
+    replaces the process image; exec after jax init is safe — unlike fork,
+    nothing survives into the new process)."""
+    argv = restart_argv(log_dir)
+    log_fn(f"{reason}; checkpointing and exec-restarting: "
+           f"{' '.join(argv[1:])}")
+    save_fn()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(argv[0], argv)
+
+
 def maybe_exec_restart(log_dir: str, max_rss_gb: float,
                        save_fn: Callable[[], None],
                        log_fn: Callable[[str], None]) -> None:
-    """If host RSS exceeds ``max_rss_gb``: save a checkpoint and replace this
-    process with a fresh resume of the same command.  No-op when
-    ``max_rss_gb <= 0`` or RSS is under the limit.  Never returns if the
-    restart fires (``os.execv`` replaces the process image; exec after jax
-    init is safe — unlike fork, nothing survives into the new process)."""
+    """If host RSS exceeds ``max_rss_gb``: :func:`exec_restart`.  No-op when
+    ``max_rss_gb <= 0`` or RSS is under the limit."""
     if max_rss_gb <= 0:
         return
     rss = host_rss_gb()
     if rss < max_rss_gb:
         return
-    argv = restart_argv(log_dir)
-    log_fn(f"Host RSS {rss:.1f} GB > {max_rss_gb:.1f} GB watchdog limit; "
-           f"checkpointing and exec-restarting: {' '.join(argv[1:])}")
-    save_fn()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os.execv(argv[0], argv)
+    exec_restart(
+        log_dir, save_fn, log_fn,
+        f"Host RSS {rss:.1f} GB > {max_rss_gb:.1f} GB watchdog limit")
+
+
+class SlowdownWatchdog:
+    """Detect leak-driven step-time degradation and request a restart.
+
+    Why this exists: besides growing RSS, the tunneled client's per-transfer
+    host leak progressively slows the whole RPC path — measured on a WaveNet
+    campaign: a fresh process steps at ~0.12 s/step and degrades to
+    ~0.18 s/step (+50%) within ~2 h, long before the RSS watchdog limit.
+    Since the eval_shape-skeleton restore made resume cheap (~35 s), it pays
+    to exec-restart as soon as steady-state step time has clearly degraded.
+
+    The train loop feeds :meth:`update` one sec/step sample per sync
+    boundary.  The detector compares the MEDIAN of the last ``window``
+    samples against the best median seen in this process: the median is
+    immune to the isolated spikes that checkpoint saves (~4 s) and eval
+    steps inject into individual samples, which would false-trigger a mean.
+    The first ``min_samples`` samples are ignored (first-jit compiles
+    pollute process start).  ``ratio <= 1`` disables.
+    """
+
+    def __init__(self, ratio: float, window: int = 30,
+                 min_samples: int = 50):
+        self.ratio = ratio
+        self.min_samples = min_samples
+        self._samples: deque = deque(maxlen=window)
+        self._seen = 0
+        self.best_median: float = float("inf")
+        self.last_median: float = float("nan")
+
+    def update(self, sec_per_step: float) -> bool:
+        """Record one sample; True when a restart is warranted."""
+        if self.ratio is None or self.ratio <= 1:
+            return False
+        self._seen += 1
+        self._samples.append(sec_per_step)
+        if (self._seen < self.min_samples
+                or len(self._samples) < self._samples.maxlen):
+            return False
+        med = statistics.median(self._samples)
+        self.last_median = med
+        if med < self.best_median:
+            self.best_median = med
+            return False
+        return med > self.best_median * self.ratio
+
+    def reason(self) -> str:
+        return (f"Median step time {self.last_median * 1e3:.0f} ms > "
+                f"{self.ratio:.2f}x best {self.best_median * 1e3:.0f} ms "
+                f"(leak-driven slowdown)")

@@ -168,6 +168,48 @@ def test_watchdog_noop_and_trigger(monkeypatch, tmp_path):
     assert calls[0] == "save" and calls[1][0] == "exec"
 
 
+def test_slowdown_watchdog_fires_on_sustained_degradation():
+    """SlowdownWatchdog: median-of-window vs best-median detector fires on
+    leak-driven slowdown but not during warmup."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+        SlowdownWatchdog)
+    dog = SlowdownWatchdog(ratio=1.25, window=30, min_samples=50)
+    # warmup: huge compile-polluted samples must never fire
+    for _ in range(49):
+        assert not dog.update(5.0)
+    # steady state ~0.12 s/step
+    for _ in range(60):
+        assert not dog.update(0.12)
+    assert dog.best_median == pytest.approx(0.12)
+    # degrade to 0.18: once the window median crosses 0.15 it must fire
+    fired = False
+    for _ in range(40):
+        if dog.update(0.18):
+            fired = True
+            break
+    assert fired
+    assert "best 120 ms" in dog.reason()
+
+
+def test_slowdown_watchdog_ignores_isolated_spikes_and_disables():
+    """Checkpoint-save (~4 s) and eval spikes hit single samples; the median
+    detector must not fire on them.  ratio<=1 disables entirely."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+        SlowdownWatchdog)
+    dog = SlowdownWatchdog(ratio=1.25, window=30, min_samples=50)
+    for _ in range(80):
+        assert not dog.update(0.12)
+    # one save spike per 100 samples (1000-step interval / 10-step sync),
+    # plus eval spikes every 50: at most a handful per 30-sample window
+    for i in range(300):
+        sample = 0.52 if i % 25 == 0 else 0.12
+        assert not dog.update(sample), f"false positive at sample {i}"
+
+    off = SlowdownWatchdog(ratio=1.0)
+    for _ in range(200):
+        assert not off.update(9.9)
+
+
 def test_packed_device_put_exact():
     """packed_device_put preserves every leaf's shape/dtype/values across a
     mixed-dtype pytree."""

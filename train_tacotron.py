@@ -34,7 +34,7 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.profiling import (
 from tacotron_wavenet_vocoder_korean_tpu.utils.compile_lock import (
     COMPILE_LOCK)
 from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
-    HangWatchdog, maybe_exec_restart)
+    HangWatchdog, SlowdownWatchdog, exec_restart, maybe_exec_restart)
 from tacotron_wavenet_vocoder_korean_tpu.utils import (
     infolog_init, log, ValueWindow, plot)
 from tacotron_wavenet_vocoder_korean_tpu import dsp
@@ -170,6 +170,7 @@ def train(args):
     test_iter = iter(test_batcher)
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    slow_dog = SlowdownWatchdog(cfg.train.restart_slowdown_ratio)
     step = start_step
     # Pipelined dispatch: fetching loss to host every step costs a full
     # RPC round trip on the tunneled chip (~100ms) and serializes
@@ -200,7 +201,9 @@ def train(args):
             loss = float(metrics["loss"])   # drains the dispatch queue
             hang_dog.beat()
             now = time.time()
-            time_window.append((now - t_sync) / steps_since_sync)
+            sec_per_step = (now - t_sync) / steps_since_sync
+            time_window.append(sec_per_step)
+            slow_restart = slow_dog.update(sec_per_step)
             t_sync, steps_since_sync = now, 0
             loss_window.append(loss)
 
@@ -228,13 +231,17 @@ def train(args):
                 log(f"Saving checkpoint at step {step}")
                 ckpt.save(step, state)
 
-            if step % 50 == 0:
-                # leaky-transfer watchdog (see train/watchdog.py docstring)
+            if (step % 50 == 0 and step % cfg.train.checkpoint_interval != 0
+                    and not (args.num_steps and step >= args.num_steps)):
+                # leaky-transfer watchdogs (see train/watchdog.py docstring).
+                # Not at a checkpoint boundary: the save-before-exec must not
+                # collide with the step ckpt.save just wrote.
+                save_fn = lambda: (ckpt.save(step, state), ckpt.close(),
+                                   feeder.stop())
+                if slow_restart:
+                    exec_restart(log_dir, save_fn, log, slow_dog.reason())
                 maybe_exec_restart(
-                    log_dir, cfg.train.max_host_rss_gb,
-                    save_fn=lambda: (ckpt.save(step, state), ckpt.close(),
-                                     feeder.stop()),
-                    log_fn=log)
+                    log_dir, cfg.train.max_host_rss_gb, save_fn, log_fn=log)
 
             if step % cfg.train.test_interval == 0:
                 test_batch = batch_to_dict(next(test_iter))
