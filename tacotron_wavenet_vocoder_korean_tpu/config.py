@@ -237,6 +237,14 @@ class TrainConfig:
     # upcasts to f32 on device (~1e-3 quantization, far below the L1 losses
     # it feeds).  'float32' is exact.
     transfer_dtype: str = "float16"
+    # Host<->device sync cadence (steps) in the train loops.  Between syncs
+    # the host races ahead and steps queue on the device; each sync (a loss
+    # fetch) costs a full tunnel round trip (~100 ms), so amortizing it over
+    # 30 steps keeps the overhead ~3 ms/step (at 10 it was ~8% of a WaveNet
+    # step).  Also the cadence of step logging, STOP-file polling, NaN/
+    # explosion checks and hang-watchdog beats; summary/eval/checkpoint
+    # intervals sync exactly regardless.
+    sync_every: int = 30
     # Elastic-recovery watchdog: if host RSS exceeds this, the train driver
     # checkpoints and exec-restarts itself with --load_path (resumes at the
     # same step; the persistent compile cache makes restarts cheap).  Needed

@@ -176,7 +176,7 @@ def train(args):
     # RPC round trip on the tunneled chip (~100ms) and serializes
     # dispatch with compute.  Only sync at the log cadence; in between,
     # steps queue on the device and the host races ahead.
-    sync_every = 5
+    sync_every = cfg.train.sync_every
     t_sync, steps_since_sync = time.time(), 0
     try:
         for batch in feeder:

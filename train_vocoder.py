@@ -129,7 +129,7 @@ def train(args):
     # trip on the tunneled chip (~100ms) and serializes dispatch with
     # compute.  Sync only at the log cadence; between syncs the host
     # races ahead and steps queue on the device.
-    sync_every = 10
+    sync_every = cfg.train.sync_every
     t_sync, steps_since_sync = time.time(), 0
     try:
         for batch in feeder:
