@@ -155,6 +155,10 @@ def main():
     # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
     with open(os.path.join(args.tacotron, "eval.json"), "w") as f:
         json.dump(result, f, indent=1)
+    # Append-only trend file (rides along in snapshots): keeps the
+    # MCD-vs-step history auditable instead of overwriting each eval.
+    with open(os.path.join(args.tacotron, "eval_history.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ TMP="$ART_DIR/.${RUN}.ckpt.tar.gz.tmp"
 EXTRA=()
 # metrics.jsonl rides along so the train/eval-loss curve survives VM resets
 # (it is the interim convergence evidence between full quality evals).
-for f in params.json config.json metrics.jsonl eval.json; do
+for f in params.json config.json metrics.jsonl eval.json eval_history.jsonl; do
     [ -f "$LOG_DIR/$f" ] && EXTRA+=("$f")
 done
 tar czf "$TMP" -C "$LOG_DIR" "ckpt/$STEP" "${EXTRA[@]}"

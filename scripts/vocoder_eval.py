@@ -96,6 +96,11 @@ def main():
     # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
     with open(os.path.join(args.wavenet, "eval.json"), "w") as f:
         json.dump(result, f, indent=1)
+    # Append-only trend file (rides along in snapshots): the MCD-vs-step
+    # curve is the acceptance evidence for the vocoder campaign, so each
+    # eval run extends the auditable history instead of overwriting it.
+    with open(os.path.join(args.wavenet, "eval_history.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
