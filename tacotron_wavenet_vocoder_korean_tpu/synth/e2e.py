@@ -37,13 +37,24 @@ class TTSPipeline:
         results = self.synth.synthesize(texts, base_path=base_path,
                                         speaker_ids=speaker_ids)
         if use_wavenet and self.vocoder is not None:
-            for idx, r in enumerate(results):
-                sid = speaker_ids[idx] if speaker_ids else None
-                wav = self.vocoder.generate(r["mel"], speaker_id=sid)
-                r["wavenet_wav"] = wav
-                if base_path:
-                    path = os.path.join(base_path, f"{idx}.wavenet.wav")
-                    dsp.save_wav(wav, path,
-                                 self.synth.cfg.audio.sample_rate)
-                    r["wavenet_wav_path"] = path
+            # Vocode every utterance in ONE batched kernel launch (ragged
+            # mels are silence-padded to the longest inside generate): a
+            # per-utterance loop would recompile the generation kernel for
+            # each distinct mel length, minutes apiece over the tunnel.
+            for start in range(0, len(results), 8):
+                chunk = results[start:start + 8]
+                sids = (list(speaker_ids[start:start + 8])
+                        if speaker_ids else None)
+                wavs = self.vocoder.generate([r["mel"] for r in chunk],
+                                             speaker_id=sids)
+                if isinstance(wavs, np.ndarray):
+                    wavs = [wavs]
+                for off, (r, wav) in enumerate(zip(chunk, wavs)):
+                    idx = start + off
+                    r["wavenet_wav"] = wav
+                    if base_path:
+                        path = os.path.join(base_path, f"{idx}.wavenet.wav")
+                        dsp.save_wav(wav, path,
+                                     self.synth.cfg.audio.sample_rate)
+                        r["wavenet_wav_path"] = path
         return results

@@ -142,6 +142,72 @@ def test_wavenet_generator_roundtrip(tmp_path):
     assert np.isfinite(seeded).all()
 
 
+def test_tts_pipeline_batched_vocoder(tmp_path, monkeypatch):
+    """Text -> Tacotron mel -> WaveNet wav through TTSPipeline (the
+    reference workflow synthesizer.py -> generate.py as ONE call); all
+    utterances must be vocoded in a single batched generate() launch —
+    a per-utterance loop would recompile the generation kernel for every
+    distinct mel length."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.wavenet_task import (
+        WaveNetTask, wavenet_batch_to_dict)
+    from tacotron_wavenet_vocoder_korean_tpu.data.loader import WaveNetBatch
+    from tacotron_wavenet_vocoder_korean_tpu.synth import TTSPipeline
+    from tacotron_wavenet_vocoder_korean_tpu.synth.generator import (
+        WaveNetGenerator)
+
+    taco_dir = str(tmp_path / "taco")
+    cfg = tiny_config()
+    prepare_run_dir(taco_dir, cfg)
+    task = TacotronTask(cfg)
+    batch = make_batch()
+    state = task.init_state(RNG, batch)
+    state, _ = task.jit_train_step()(state, batch_to_dict(batch), RNG)
+    ckpt = CheckpointManager(taco_dir)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+
+    wn_dir = str(tmp_path / "wn")
+    wn_cfg = overlay(Config(), wavenet={
+        "dilations": [1, 2, 4, 1, 2, 4], "residual_channels": 8,
+        "dilation_channels": 8, "skip_channels": 16, "out_channels": 12,
+        "initial_filter_width": 8, "sample_size": 1500, "batch_size": 2})
+    prepare_run_dir(wn_dir, wn_cfg)
+    hop = wn_cfg.audio.hop_size
+    rng = np.random.RandomState(0)
+    wn_batch = WaveNetBatch(
+        input_wav=rng.uniform(-0.5, 0.5, (2, 5 * hop, 1)).astype(np.float32),
+        local_condition=rng.randn(2, 5, 80).astype(np.float32),
+        speaker_id=np.zeros((2,), np.int32))
+    wn_task = WaveNetTask(wn_cfg)
+    wn_state = wn_task.init_state(RNG, wn_batch)
+    wn_state, _ = wn_task.jit_train_step()(wn_state,
+                                           wavenet_batch_to_dict(wn_batch))
+    wn_ckpt = CheckpointManager(wn_dir)
+    wn_ckpt.save(int(wn_state.step), wn_state)
+    wn_ckpt.close()
+
+    pipe = TTSPipeline().load(taco_dir, wn_dir)
+    calls = []
+    orig_generate = WaveNetGenerator.generate
+
+    def counting_generate(self, mel, **kw):
+        calls.append(len(mel) if isinstance(mel, (list, tuple)) else 1)
+        return orig_generate(self, mel, **kw)
+
+    monkeypatch.setattr(WaveNetGenerator, "generate", counting_generate)
+    results = pipe.tts(["안녕하세요", "테스트 문장", "끝"],
+                       base_path=str(tmp_path / "out"))
+    assert len(results) == 3
+    assert calls == [3]   # one batched launch, not one per utterance
+    for r in results:
+        assert os.path.exists(r["wav_path"])          # Griffin-Lim wav
+        assert os.path.exists(r["wavenet_wav_path"])  # vocoded wav
+        assert r["wavenet_wav"].ndim == 1 and len(r["wavenet_wav"]) > 0
+        assert np.isfinite(r["wavenet_wav"]).all()
+        # vocoder output spans the mel the Tacotron produced for THIS text
+        assert len(r["wavenet_wav"]) == r["mel"].shape[0] * hop
+
+
 def test_wavenet_generator_quantized_temperature(tmp_path):
     """Quantized (mulaw-quantize) generator: softmax sampling with
     temperature + wav_seed one-hot encoding (reference generate.py:55,216)."""
