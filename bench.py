@@ -63,10 +63,13 @@ def _remaining() -> float:
 
 def _emit(error: str | None = None):
     """Print the single JSON line exactly once (success or deadline)."""
-    if _PRINTED.is_set():
-        return
-    _PRINTED.set()
     with _BUF_LOCK:
+        # check-and-set under the lock: the deadline thread and main() can
+        # both reach here near the deadline, and a non-atomic pair would
+        # print two JSON lines, breaking the one-line stdout contract
+        if _PRINTED.is_set():
+            return
+        _PRINTED.set()
         out = dict(_BUF)
     if error:
         out["error"] = error

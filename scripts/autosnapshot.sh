@@ -21,6 +21,9 @@ cd "$REPO"
 # twice; durability is policy now, not discipline).
 mkdir -p "$LOG_DIR"
 echo $$ > "$LOG_DIR/.autosnapshot.pid"
+# Remove the marker on any exit so supervise.sh's kill -0 check can't pass
+# via PID reuse after a crash/reboot (the guard would silently not guard).
+trap 'rm -f "$LOG_DIR/.autosnapshot.pid"' EXIT
 while :; do
     sleep "$INTERVAL_S"
     scripts/snapshot_ckpt.sh "$LOG_DIR" >/dev/null 2>&1 || continue

@@ -9,8 +9,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Sequence, Union
 
-import numpy as np
-
 from .synthesizer import Synthesizer
 from .generator import WaveNetGenerator
 from .. import dsp
@@ -47,8 +45,9 @@ class TTSPipeline:
                         if speaker_ids else None)
                 wavs = self.vocoder.generate([r["mel"] for r in chunk],
                                              speaker_id=sids)
-                if isinstance(wavs, np.ndarray):
-                    wavs = [wavs]
+                # generate() is list-in/list-out; a silent length mismatch
+                # would assign wavs to the wrong utterances
+                assert len(wavs) == len(chunk), (len(wavs), len(chunk))
                 for off, (r, wav) in enumerate(zip(chunk, wavs)):
                     idx = start + off
                     r["wavenet_wav"] = wav

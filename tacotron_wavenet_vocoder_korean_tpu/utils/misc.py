@@ -122,7 +122,9 @@ def packed_device_put(tree):
                 outs.append(buf[off:off + sz].reshape(shp))
                 off += sz
             return outs
-        parts = jax.jit(unpack)(jax.device_put(flat))
+        from .compile_lock import COMPILE_LOCK
+        with COMPILE_LOCK:  # symmetric with packed_host_get: no concurrent
+            parts = jax.jit(unpack)(jax.device_put(flat))  # first-jit races
         for (i, _), dev in zip(items, parts):
             out[i] = dev
     return jax.tree_util.tree_unflatten(treedef, out)
@@ -142,7 +144,14 @@ def _ravel_concat(xs):
     if _ravel_concat_jitted is None:
         import jax
         _ravel_concat_jitted = jax.jit(_ravel_concat_impl)
-    return _ravel_concat_jitted(xs)
+    # Serialize the (possibly first) jit dispatch against other threads'
+    # compiles: checkpoint saves run on the main thread while the
+    # DevicePrefetcher thread compiles gathers under COMPILE_LOCK
+    # (data/loader.py:277), and concurrent first-jit from two threads
+    # deadlocks this backend (CLAUDE.md).
+    from .compile_lock import COMPILE_LOCK
+    with COMPILE_LOCK:
+        return _ravel_concat_jitted(xs)
 
 
 def packed_host_get(tree):
