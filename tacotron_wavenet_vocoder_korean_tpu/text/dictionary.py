@@ -79,6 +79,69 @@ ENGLISH_DICTIONARY = {
     "Rashomon Effect": "",
     "WHERETHEWILDTHINGSARE": "",
     "YSDJJPMB": "",
+    # Common loanwords read as words (standard Korean transliterations), in
+    # the broadcast/news register of the bundled corpora.  Curated breadth
+    # matching the role of reference ko_dictionary.py:11-174 (that table's
+    # long tail is corpus-specific; this one covers general news vocabulary).
+    "news": "뉴스",
+    "News": "뉴스",
+    "anchor": "앵커",
+    "camera": "카메라",
+    "computer": "컴퓨터",
+    "internet": "인터넷",
+    "Internet": "인터넷",
+    "smartphone": "스마트폰",
+    "system": "시스템",
+    "service": "서비스",
+    "center": "센터",
+    "energy": "에너지",
+    "campaign": "캠페인",
+    "brand": "브랜드",
+    "design": "디자인",
+    "digital": "디지털",
+    "data": "데이터",
+    "program": "프로그램",
+    "project": "프로젝트",
+    "team": "팀",
+    "leader": "리더",
+    "member": "멤버",
+    "fan": "팬",
+    "star": "스타",
+    "drama": "드라마",
+    "music": "뮤직",
+    "concert": "콘서트",
+    "festival": "페스티벌",
+    "event": "이벤트",
+    "interview": "인터뷰",
+    "message": "메시지",
+    "best": "베스트",
+    "top": "탑",
+    "one": "원",
+    "two": "투",
+    "three": "쓰리",
+    "good": "굿",
+    "happy": "해피",
+    "love": "러브",
+    "game": "게임",
+    "goal": "골",
+    "pass": "패스",
+    "sports": "스포츠",
+    "Olympic": "올림픽",
+    "olympic": "올림픽",
+    "World Cup": "월드컵",
+    "Christmas": "크리스마스",
+    "chocolate": "초콜릿",
+    "coffee": "커피",
+    "juice": "주스",
+    "banana": "바나나",
+    "orange": "오렌지",
+    "hotel": "호텔",
+    "taxi": "택시",
+    "bus": "버스",
+    "radio": "라디오",
+    "television": "텔레비전",
+    "piano": "피아노",
+    "guitar": "기타",
 }
 
 # Uppercase letter -> Korean letter name (reference text/korean.py:108-135).

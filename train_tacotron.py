@@ -77,6 +77,49 @@ def save_and_plot(log_dir: str, step: int, eval_out, batch, cfg):
     log(f"  saved {wav_path} and {png_path}")
 
 
+def check_text_roundtrip(data_paths, cleaners: str, max_logged: int = 10):
+    """Startup validation: re-decode every training text and log mismatches
+    (reference train_tacotron.py:31-44 create_batch_inputs_from_texts).
+
+    encode->decode should reproduce the jamo decomposition of the normalized
+    text; a mismatch means the symbol table dropped characters (out-of-table
+    symbols), which would silently train on corrupted transcripts."""
+    from tacotron_wavenet_vocoder_korean_tpu.text import TextCodec, PAD, EOS
+    from tacotron_wavenet_vocoder_korean_tpu.text.hangul import hangul_to_jamo
+    from tacotron_wavenet_vocoder_korean_tpu.text.cleaners import get_cleaner
+
+    codec = TextCodec(cleaners)
+    clean_fns = [get_cleaner(n) for n in codec.cleaner_names]
+    n_bad = total = 0
+    for d in data_paths:
+        train_txt = os.path.join(d, "train.txt")
+        if not os.path.exists(train_txt):
+            continue
+        with open(train_txt, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("|")
+                if len(parts) < 4:
+                    continue
+                text = parts[3]
+                total += 1
+                cleaned = text
+                for fn in clean_fns:
+                    cleaned = fn(cleaned)
+                # the cleaner emits jamo tokens incl. the trailing EOS '~';
+                # decode(skip_eos_and_pad) drops EOS/PAD, so drop them here too
+                expected = "".join(s for s in hangul_to_jamo(cleaned)
+                                   if s not in (PAD, EOS))
+                recovered = codec.decode(codec.encode(text),
+                                         skip_eos_and_pad=True)
+                if recovered != expected:
+                    n_bad += 1
+                    if n_bad <= max_logged:
+                        log(f"  text round-trip mismatch [{d}]: {text!r}")
+                        log(f"    recovered: {recovered!r}")
+    log(f"text round-trip check: {total - n_bad}/{total} texts exact")
+    return n_bad
+
+
 def train(args):
     cfg = Config()
     if args.load_path:
@@ -130,6 +173,10 @@ def train(args):
             f"{train_batcher.store_bytes / 1e6:.0f} MB on device"
             + (" (sharded over the data axis)" if mesh else ""))
     test_batcher = TacotronBatcher(args.data_paths, cfg, "test")
+
+    # Startup transcript validation (reference train_tacotron.py:31-44):
+    # any text whose encode->decode round-trip drops symbols is logged.
+    check_text_roundtrip(args.data_paths, cfg.tacotron.cleaners)
 
     task = TacotronTask(cfg, is_randomly_initialized=not args.initialize_path)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
