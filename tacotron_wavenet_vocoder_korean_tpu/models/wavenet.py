@@ -332,14 +332,17 @@ def init_gen_state(cfg: WaveNetConfig, batch: int, rng: jax.Array,
     )
 
 
-def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
-              t: jnp.ndarray, lc_t: jnp.ndarray,
-              gc: Optional[jnp.ndarray], temperature: float = 1.0,
-              deterministic: bool = False
-              ) -> Tuple[GenState, jnp.ndarray]:
-    """One sample: push prev into the buffers, sweep the stack, draw the next
-    sample.  Mirrors the queue shifts of reference model.py:116-146 without
-    any host round-trip."""
+def _sweep_logits(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
+                  t: jnp.ndarray, lc_t: jnp.ndarray,
+                  gc: Optional[jnp.ndarray]
+                  ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Single-step stack sweep: push ``state.prev`` into the ring buffers,
+    run every dilated layer at time ``t``, and return
+    ``(new_causal_buf, new_layer_bufs, logits)``.  Mirrors the queue shifts
+    of reference model.py:116-146 without any host round-trip.  Shared by
+    the free-running sampler (:func:`_gen_step`) and the teacher-forced
+    equivalence harness (:func:`teacher_forced_incremental`) so the
+    incremental==parallel proof exercises the production sweep."""
     p = params
 
     causal_buf = jnp.concatenate(
@@ -384,6 +387,18 @@ def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
     logits = out @ p["post_2"]["kernel"]
     if cfg.use_biases:
         logits = logits + p["post_2"]["bias"]
+    return causal_buf, tuple(new_bufs), logits
+
+
+def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
+              t: jnp.ndarray, lc_t: jnp.ndarray,
+              gc: Optional[jnp.ndarray], temperature: float = 1.0,
+              deterministic: bool = False
+              ) -> Tuple[GenState, jnp.ndarray]:
+    """One sample: sweep the stack, then draw the next sample from the
+    logits (reference generate.py:202-233's per-sample loop)."""
+    causal_buf, new_bufs, logits = _sweep_logits(
+        cfg, params, state, t, lc_t, gc)
 
     rng, step_rng = jax.random.split(state.rng)
     if cfg.scalar_input:
@@ -406,7 +421,7 @@ def _gen_step(cfg: WaveNetConfig, params: Dict[str, Any], state: GenState,
         nxt = jax.nn.one_hot(cls, cfg.quantization_channels)
         emitted = cls.astype(jnp.float32)
 
-    return GenState(causal_buf, tuple(new_bufs), nxt, rng), emitted
+    return GenState(causal_buf, new_bufs, nxt, rng), emitted
 
 
 def incremental_generate(cfg: WaveNetConfig, params: Dict[str, Any],
@@ -456,49 +471,18 @@ def teacher_forced_incremental(cfg: WaveNetConfig, params: Dict[str, Any],
                                gc: Optional[jnp.ndarray] = None
                                ) -> jnp.ndarray:
     """Run the incremental step over *given* inputs, returning raw logits per
-    step — used to prove incremental == parallel training graph."""
+    step — used to prove incremental == parallel training graph.  Shares
+    :func:`_sweep_logits` with the production sampler so the equivalence
+    proof cannot drift from the real generation path."""
     B, T, cin = audio.shape
     state = init_gen_state(cfg, B, jax.random.PRNGKey(0))
 
     def body(state, inputs):
         t, x_t, lc_t = inputs
         st = state._replace(prev=x_t)
-        causal_buf = jnp.concatenate(
-            [st.causal_buf[:, 1:, :], st.prev[:, None, :]], axis=1)
-        h = jnp.einsum("bwc,wcr->br", causal_buf, params["causal_kernel"])
-        skip_acc = 0.0
-        new_bufs = []
-        for i, d in enumerate(cfg.dilations):
-            buf = st.layer_bufs[i]
-            slot = jnp.remainder(t, d)
-            old = jax.lax.dynamic_index_in_dim(buf, slot, 1, keepdims=False)
-            wf = params[f"layer_{i}_filter_kernel"]
-            wg = params[f"layer_{i}_gate_kernel"]
-            filt = old @ wf[0] + h @ wf[1] + lc_t @ params[f"layer_{i}_lc_filter"]
-            gate = old @ wg[0] + h @ wg[1] + lc_t @ params[f"layer_{i}_lc_gate"]
-            if cfg.use_biases:
-                filt = filt + params[f"layer_{i}_filter_bias"]
-                gate = gate + params[f"layer_{i}_gate_bias"]
-            if gc is not None:
-                filt = filt + gc @ params[f"layer_{i}_gc_filter"]
-                gate = gate + gc @ params[f"layer_{i}_gc_gate"]
-            out = jnp.tanh(filt) * jax.nn.sigmoid(gate)
-            skip = out @ params[f"layer_{i}_skip_kernel"]
-            res = out @ params[f"layer_{i}_res_kernel"]
-            if cfg.use_biases:
-                skip = skip + params[f"layer_{i}_skip_bias"]
-                res = res + params[f"layer_{i}_res_bias"]
-            skip_acc = skip_acc + skip
-            new_bufs.append(jax.lax.dynamic_update_index_in_dim(buf, h, slot, 1))
-            h = h + res
-        out = nn.relu(skip_acc)
-        out = out @ params["post_1"]["kernel"]
-        if cfg.use_biases:
-            out = out + params["post_1"]["bias"]
-        logits = nn.relu(out) @ params["post_2"]["kernel"]
-        if cfg.use_biases:
-            logits = logits + params["post_2"]["bias"]
-        return GenState(causal_buf, tuple(new_bufs), x_t, st.rng), logits
+        causal_buf, new_bufs, logits = _sweep_logits(
+            cfg, params, st, t, lc_t, gc)
+        return GenState(causal_buf, new_bufs, x_t, st.rng), logits
 
     ts = jnp.arange(T)
     _, logits = jax.lax.scan(
