@@ -36,5 +36,12 @@ echo "$STEP" > "$ART_DIR/$RUN.step"
 # quality numbers stay reproducible after a VM reset.
 if [ -f "$LOG_DIR/eval.json" ]; then
     cp "$LOG_DIR/eval.json" "$ART_DIR/$RUN.eval.json"
+    # Staleness guard (VERDICT r3: eval.json lagged the checkpoint by 56k
+    # steps): warn loudly when the bundled eval measures a much older step.
+    EVAL_STEP=$(python3 -c "import json,sys;print(json.load(open('$LOG_DIR/eval.json')).get('checkpoint_step',0))" 2>/dev/null || echo 0)
+    if [ "$((STEP - EVAL_STEP))" -gt 20000 ]; then
+        echo "WARNING: $RUN eval.json is stale (eval@$EVAL_STEP vs ckpt@$STEP);" \
+             "re-run quality_eval/vocoder_eval before publishing" >&2
+    fi
 fi
 echo "snapshotted $RUN step $STEP -> $ART_DIR/$RUN.ckpt.tar.gz ($(du -h "$ART_DIR/$RUN.ckpt.tar.gz" | cut -f1))"

@@ -26,10 +26,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wavenet", required=True, help="wavenet run dir")
     p.add_argument("--data", required=True, help="preprocessed npz dir")
-    p.add_argument("--n", type=int, default=3)
+    p.add_argument("--n", type=int, default=10)
     p.add_argument("--max_frames", type=int, default=240,
                    help="cap mel length per utterance (3 s default)")
     p.add_argument("--out_dir", default=None)
+    p.add_argument("--no_persist", action="store_true",
+                   help="smoke mode: print JSON but do not write "
+                        "eval.json/eval_history.jsonl into the run dir")
     from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
         add_platform_arg, set_platform)
     add_platform_arg(p)
@@ -48,8 +51,19 @@ def main():
     cfg = gen.cfg
     hop = cfg.audio.hop_size
 
-    paths = sorted(glob.glob(os.path.join(args.data, "*.npz")))
-    paths = paths[:: max(1, len(paths) // args.n)][:args.n]
+    all_paths = sorted(glob.glob(os.path.join(args.data, "*.npz")))
+    # Same held-out rule as WaveNetBatcher (data/loader.py:452-456): the
+    # last num_test_per_speaker of the sorted paths were never trained on.
+    n_test = max(1, cfg.train.num_test_per_speaker)
+    held = set(all_paths[-n_test:]) if len(all_paths) >= 2 * n_test else set()
+    # Always evaluate every truly held-out clip, then spread the remaining
+    # budget evenly over the corpus for statistical weight (the vocoder
+    # consumes ground-truth acoustics, so train-clip copy-synthesis is a
+    # meaningful secondary sample; the heldout subset is reported separately).
+    rest = [p_ for p_ in all_paths if p_ not in held]
+    budget = max(0, args.n - len(held))
+    rest = rest[:: max(1, len(rest) // budget)][:budget] if budget else []
+    paths = sorted(held) + rest
 
     pad_val = (-cfg.audio.max_abs_value if cfg.audio.symmetric_mels else 0.0)
     wn_scores, gl_scores, rtfs = [], [], []
@@ -80,18 +94,30 @@ def main():
             dsp.save_wav(wav, os.path.join(args.out_dir, base + ".wn.wav"),
                          cfg.audio.sample_rate)
 
+    held_idx = [i for i, p_ in enumerate(paths) if p_ in held]
     result = {
         "metric": "vocoder_mcd_db",
         "n_utterances": len(paths),
         "wavenet_mcd_db": round(float(np.mean(wn_scores)), 2),
         "gl_oracle_mcd_db": round(float(np.mean(gl_scores)), 2),
+        # never-trained-on clips only (the loader's heldout split)
+        "heldout_wavenet_mcd_db": (
+            round(float(np.mean([wn_scores[i] for i in held_idx])), 2)
+            if held_idx else None),
+        "n_heldout": len(held_idx),
         "checkpoint_step": gen.step,
         # median: the first call pays the (cached-thereafter) compile
         "gen_realtime_factor": round(float(np.median(rtfs)), 2),
-        "per_utt_wavenet": [round(s, 2) for s in wn_scores],
-        "per_utt_gl": [round(s, 2) for s in gl_scores],
+        "per_utt": [
+            {"utt": os.path.splitext(os.path.basename(p_))[0],
+             "heldout": p_ in held,
+             "wavenet_mcd_db": round(wn_scores[i], 2),
+             "gl_mcd_db": round(gl_scores[i], 2)}
+            for i, p_ in enumerate(paths)],
     }
     print(json.dumps(result))
+    if args.no_persist:
+        return
     # Persist beside the checkpoint it measures: snapshot_ckpt.sh bundles
     # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
     with open(os.path.join(args.wavenet, "eval.json"), "w") as f:
