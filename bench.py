@@ -416,8 +416,43 @@ def _arm_deadline(seconds: float):
     return t
 
 
+def _stop_live_campaigns(timeout_s: float = 90.0, root: str = None,
+                         force: bool = False):
+    """The scored bench owns the chip: gracefully STOP any live training
+    campaign first (round 3 lost the tacotron suite to chip contention from
+    a still-running wn_moon trainer — see VERDICT r3).
+
+    STOP-file protocol (train drivers): the trainer saves a checkpoint at
+    the next sync boundary and exits 0, which also ends its supervisor
+    cleanly; train CLIs clear stale STOP files at startup.  A campaign is
+    'live' when its train.log was written in the last 2 minutes."""
+    if (_SMOKE or _PLATFORM == "cpu") and not force:
+        return
+    import glob
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    now = time.time()
+    live = []
+    for tl in glob.glob(os.path.join(root, "logs", "*", "train.log")):
+        if now - os.path.getmtime(tl) < 120:
+            with open(os.path.join(os.path.dirname(tl), "STOP"), "w"):
+                pass
+            live.append(tl)
+    if not live:
+        return
+    hard = time.time() + timeout_s
+    for tl in live:
+        # quiesce = no new log writes for 15 s (a live trainer logs every
+        # ~4 s; post-STOP it saves ~4 s and exits with a final line)
+        while time.time() < hard and time.time() - os.path.getmtime(tl) < 15:
+            time.sleep(3)
+    _publish(stopped_campaigns=sorted(
+        os.path.basename(os.path.dirname(t)) for t in live))
+
+
 def main():
     deadline = _arm_deadline(_DEADLINE_S)
+    _stop_live_campaigns()
     enable_compilation_cache()
     # Primary metric FIRST — everything after this is gravy the deadline
     # may cut.  Each suite _publish()es its fields as it completes.

@@ -479,3 +479,43 @@ def test_text_roundtrip_check(tmp_path):
         encoding="utf-8")
     n_bad = T.check_text_roundtrip([str(d)], "korean_cleaners")
     assert n_bad == 1
+
+
+def test_bench_stops_live_campaigns(tmp_path):
+    """The scored bench STOPs live campaigns before measuring (VERDICT r3:
+    a live trainer contended the chip out of the tacotron suite)."""
+    import os as _os
+    import threading
+    import time as _time
+
+    import bench
+
+    live = tmp_path / "logs" / "live_run"
+    stale = tmp_path / "logs" / "stale_run"
+    live.mkdir(parents=True)
+    stale.mkdir(parents=True)
+    (stale / "train.log").write_text("old\n")
+    _os.utime(stale / "train.log", (_time.time() - 3600,) * 2)
+    tl = live / "train.log"
+    tl.write_text("step 1\n")
+
+    def fake_trainer():
+        # keeps logging every second until it sees STOP (like the drivers)
+        for _ in range(60):
+            if (live / "STOP").exists():
+                with open(tl, "a") as f:
+                    f.write("exiting cleanly\n")
+                return
+            with open(tl, "a") as f:
+                f.write("step\n")
+            _time.sleep(1.0)
+
+    t = threading.Thread(target=fake_trainer, daemon=True)
+    t.start()
+    t0 = _time.time()
+    bench._stop_live_campaigns(timeout_s=45, root=str(tmp_path), force=True)
+    t.join(timeout=10)
+    assert (live / "STOP").exists()
+    assert not (stale / "STOP").exists()      # quiet runs left alone
+    assert "exiting cleanly" in tl.read_text()
+    assert _time.time() - t0 < 45             # quiesced before the hard cap
