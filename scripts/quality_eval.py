@@ -46,6 +46,18 @@ def main():
                         "reconstructed held-out split will differ")
     p.add_argument("--out_dir", default=None,
                    help="optionally save synthesized wavs here")
+    p.add_argument("--wavenet", default=None,
+                   help="wavenet run dir: additionally score the TRUE "
+                        "end-to-end path (text -> Tacotron mel -> WaveNet "
+                        "wav) as e2e_mcd_db (reference synthesizer.py:276-280"
+                        " -> generate.py:106-264 workflow)")
+    p.add_argument("--e2e_max_frames", type=int, default=None,
+                   help="smoke-only: cap mel frames fed to the vocoder "
+                        "(truncates the e2e comparison; never set in a "
+                        "scored run)")
+    p.add_argument("--no_persist", action="store_true",
+                   help="smoke mode: print JSON but do not write "
+                        "eval.json/eval_history.jsonl into the run dir")
     from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
         add_platform_arg)
     add_platform_arg(p)
@@ -73,6 +85,10 @@ def main():
     synth = Synthesizer().load(args.tacotron, fused_rnn=args.fused_rnn,
                                inference_dropout=inference_dropout)
     cfg = synth.cfg
+    vocoder = None
+    if args.wavenet:
+        from tacotron_wavenet_vocoder_korean_tpu.synth import WaveNetGenerator
+        vocoder = WaveNetGenerator().load(args.wavenet)
 
     heldout_batcher = None
     if args.heldout:
@@ -100,6 +116,7 @@ def main():
 
     per_speaker = {}
     all_synth, all_oracle = [], []
+    e2e_jobs = []
     for sid, data_dir in enumerate(args.data):
         oracle_scores, synth_scores = [], []
         for path in pick_paths(data_dir):
@@ -116,6 +133,10 @@ def main():
                                    save_alignment=False, save_mel=False)
             wav = out[0]["wav"]
             synth_scores.append(mcd(wav, real, cfg.audio))
+            if vocoder is not None:
+                e2e_jobs.append(
+                    {"sid": sid, "real": real, "mel": out[0]["mel"],
+                     "base": os.path.splitext(os.path.basename(path))[0]})
             if args.out_dir:
                 os.makedirs(args.out_dir, exist_ok=True)
                 base = os.path.splitext(os.path.basename(path))[0]
@@ -139,9 +160,53 @@ def main():
         all_synth += synth_scores
         all_oracle += oracle_scores
 
+    e2e_field = {}
+    if vocoder is not None and e2e_jobs:
+        # Pad every free-run mel to ONE shared frame count so the WaveNet
+        # generation kernel compiles exactly once (per-shape compiles over
+        # the tunnel take minutes — same trick as scripts/vocoder_eval.py);
+        # the padded tail is silence, trimmed from the wav below.
+        hop = cfg.audio.hop_size
+        pad_val = (-cfg.audio.max_abs_value if cfg.audio.symmetric_mels
+                   else 0.0)
+        if args.e2e_max_frames:
+            for j in e2e_jobs:
+                j["mel"] = j["mel"][:args.e2e_max_frames]
+                j["real"] = j["real"][:args.e2e_max_frames
+                                      * cfg.audio.hop_size]
+        f_max = max(len(j["mel"]) for j in e2e_jobs)
+        per_sid_scores = {}
+        for j in e2e_jobs:
+            n_frames = len(j["mel"])
+            mel_pad = np.pad(j["mel"], ((0, f_max - n_frames), (0, 0)),
+                             constant_values=pad_val)
+            wav = vocoder.generate(mel_pad)[:n_frames * hop]
+            score = mcd(wav, j["real"], cfg.audio)
+            per_sid_scores.setdefault(j["sid"], []).append(round(score, 2))
+            if args.out_dir:
+                dsp.save_wav(
+                    wav,
+                    os.path.join(args.out_dir,
+                                 f"{j['sid']}_{j['base']}.e2e.wav"),
+                    cfg.audio.sample_rate)
+        all_e2e = [s for scores in per_sid_scores.values() for s in scores]
+        for key in per_speaker:
+            sid = int(key.split(":", 1)[0])
+            if sid in per_sid_scores:
+                scores = per_sid_scores[sid]
+                per_speaker[key]["e2e_mcd_db"] = round(
+                    float(np.mean(scores)), 2)
+                per_speaker[key]["per_utt_e2e"] = scores
+        e2e_field = {
+            "e2e_mcd_db": round(float(np.mean(all_e2e)), 2),
+            "e2e_vocoder": args.wavenet,
+            "e2e_vocoder_step": vocoder.step,
+        }
+
     result = {
         "metric": "mcd_db",
         "n_utterances": len(all_synth),
+        **e2e_field,
         "heldout_only": bool(args.heldout),
         "inference_dropout": args.inference_dropout,
         "synth_mcd_db": round(float(np.mean(all_synth)), 2),
@@ -151,6 +216,8 @@ def main():
         "per_speaker": per_speaker,
     }
     print(json.dumps(result))
+    if args.no_persist:
+        return
     # Persist beside the checkpoint it measures: snapshot_ckpt.sh bundles
     # <run>/eval.json into artifacts/ so quality evidence survives VM resets.
     with open(os.path.join(args.tacotron, "eval.json"), "w") as f:
