@@ -21,6 +21,18 @@ LOG_DIR="$1"; shift
 MAX_RETRIES=${MAX_RETRIES:-30}
 tries=0
 
+# Single-supervisor guard: two chains driving one log_dir interleave
+# training steps and race Orbax checkpoint retention (observed round 4:
+# steps 225.9k/226.4k trained concurrently and one trainer deleted a step
+# the other tracked).  flock on a per-log_dir lockfile, held for the whole
+# supervision, makes the second launch fail fast instead.
+exec 9>"$LOG_DIR/.supervise.lock"
+if ! flock -n 9; then
+    echo "[supervise] REFUSING to start: another supervisor already drives" \
+         "$LOG_DIR (lock $LOG_DIR/.supervise.lock is held)" >&2
+    exit 43
+fi
+
 # Durability guard: refuse to drive a campaign whose log_dir has no live
 # autosnapshot (scripts/autosnapshot.sh writes $LOG_DIR/.autosnapshot.pid).
 # Two VM resets destroyed unprotected checkpoints; snapshotting every
