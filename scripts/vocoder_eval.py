@@ -86,7 +86,13 @@ def main():
         dt = time.time() - t0
         rtfs.append(len(wav) / dt / cfg.audio.sample_rate)
         wn_scores.append(mcd(wav, real_cut, cfg.audio))
-        gl = np.asarray(dsp.inv_linear_spectrogram(linear.T, cfg.audio))
+        # pad the linear spectrogram to the SAME fixed length too: the
+        # on-device Griffin-Lim compiles per shape, and n distinct
+        # utterance lengths would cost n multi-minute tunnel compiles
+        lin_pad = np.pad(linear, ((0, args.max_frames - n_frames), (0, 0)),
+                         constant_values=linear.min())
+        gl = np.asarray(dsp.inv_linear_spectrogram(
+            lin_pad.T, cfg.audio))[:n_frames * hop]
         gl_scores.append(mcd(gl, real_cut, cfg.audio))
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
