@@ -22,6 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
+def select_eval_paths(all_paths, n, n_test):
+    """Pick eval utterances: every truly held-out clip (the loader's split,
+    data/loader.py:452-456 — last n_test of the sorted paths when the corpus
+    is big enough), then an even spread over the rest up to ``n`` total.
+    Returns (paths, heldout_set)."""
+    held = set(all_paths[-n_test:]) if len(all_paths) >= 2 * n_test else set()
+    rest = [p_ for p_ in all_paths if p_ not in held]
+    budget = max(0, n - len(held))
+    rest = rest[:: max(1, len(rest) // budget)][:budget] if budget else []
+    return sorted(held) + rest, held
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wavenet", required=True, help="wavenet run dir")
@@ -52,18 +64,12 @@ def main():
     hop = cfg.audio.hop_size
 
     all_paths = sorted(glob.glob(os.path.join(args.data, "*.npz")))
-    # Same held-out rule as WaveNetBatcher (data/loader.py:452-456): the
-    # last num_test_per_speaker of the sorted paths were never trained on.
-    n_test = max(1, cfg.train.num_test_per_speaker)
-    held = set(all_paths[-n_test:]) if len(all_paths) >= 2 * n_test else set()
     # Always evaluate every truly held-out clip, then spread the remaining
     # budget evenly over the corpus for statistical weight (the vocoder
     # consumes ground-truth acoustics, so train-clip copy-synthesis is a
     # meaningful secondary sample; the heldout subset is reported separately).
-    rest = [p_ for p_ in all_paths if p_ not in held]
-    budget = max(0, args.n - len(held))
-    rest = rest[:: max(1, len(rest) // budget)][:budget] if budget else []
-    paths = sorted(held) + rest
+    paths, held = select_eval_paths(
+        all_paths, args.n, max(1, cfg.train.num_test_per_speaker))
 
     pad_val = (-cfg.audio.max_abs_value if cfg.audio.symmetric_mels else 0.0)
     wn_scores, gl_scores, rtfs = [], [], []

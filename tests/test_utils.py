@@ -519,3 +519,29 @@ def test_bench_stops_live_campaigns(tmp_path):
     assert not (stale / "STOP").exists()      # quiet runs left alone
     assert "exiting cleanly" in tl.read_text()
     assert _time.time() - t0 < 45             # quiesced before the hard cap
+
+
+def test_vocoder_eval_selection_includes_heldout():
+    """vocoder_eval always scores the loader's true held-out clips (last
+    num_test_per_speaker of the sorted paths, data/loader.py:452-456) and
+    spreads the remaining budget over the corpus."""
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "vocoder_eval", _os.path.join(_os.path.dirname(__file__),
+                                      "..", "scripts", "vocoder_eval.py"))
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    corpus = [f"{i:03d}.npz" for i in range(110)]
+    paths, held = mod.select_eval_paths(corpus, n=10, n_test=2)
+    assert held == {"108.npz", "109.npz"}
+    assert set(paths) >= held                 # heldout always included
+    assert len(paths) == 10
+    assert len(set(paths)) == 10              # no duplicates
+
+    # corpus too small to split: no heldout, plain spread
+    paths, held = corpus_small = mod.select_eval_paths(
+        [f"{i}.npz" for i in range(3)], n=10, n_test=2)
+    assert held == set() and len(paths) == 3
