@@ -25,7 +25,6 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def main():
-    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--load_path", required=True, help="wavenet run dir")
     p.add_argument("--mel", action="append", required=True,
@@ -45,6 +44,7 @@ def main():
     add_platform_arg(p)
     args = p.parse_args()
     set_platform(args.platform)
+    enable_compilation_cache()  # after set_platform: gate needs the real platform
 
     gen = WaveNetGenerator().load(args.load_path, use_ema=not args.no_ema)
 

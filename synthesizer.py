@@ -19,7 +19,6 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def main():
-    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--load_path", required=True, help="training run dir")
     p.add_argument("--text", action="append", required=True,
@@ -35,6 +34,7 @@ def main():
     add_platform_arg(p)
     args = p.parse_args()
     set_platform(args.platform)
+    enable_compilation_cache()  # after set_platform: gate needs the real platform
 
     synth = Synthesizer().load(args.load_path, fused_rnn=args.fused_rnn)
     results = synth.synthesize(

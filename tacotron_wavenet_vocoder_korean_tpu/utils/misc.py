@@ -60,8 +60,27 @@ def remove_file(path: str) -> None:
 
 def enable_compilation_cache(path: str = None) -> None:
     """Persistent XLA compilation cache: restarts reuse compiled programs
-    instead of paying the multi-minute recompile per shape bucket."""
+    instead of paying the multi-minute recompile per shape bucket.
+
+    DISABLED on the axon backend (unless TWVK_FORCE_COMPILE_CACHE=1):
+    EXECUTING a program deserialized from the persistent cache wedges that
+    backend — dispatch returns in seconds, the first result fetch never
+    completes — while a fresh compile of the same HLO runs fine.  Verified
+    with a minimal two-process experiment (same jit scan, same scratch
+    cache dir: process A compiles+runs in seconds, process B cache-hits
+    and hangs >7 min until killed), and observed as back-to-back 20-min
+    HangWatchdog kills on every campaign resume once the cache was warm.
+    Call this AFTER set_platform() so the gate sees the real platform.
+    TWVK_NO_COMPILE_CACHE=1 disables the cache everywhere.
+    """
     import jax
+    if os.environ.get("TWVK_NO_COMPILE_CACHE", "") == "1":
+        return
+    platforms = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", "") or "")
+    if ("axon" in str(platforms)
+            and os.environ.get("TWVK_FORCE_COMPILE_CACHE", "") != "1"):
+        return
     path = path or os.path.expanduser("~/.cache/twvk_jax_cache")
     os.makedirs(path, exist_ok=True)
     try:

@@ -215,6 +215,7 @@ def train(args):
         put = lambda b: batch_to_dict(b, tdt)
     feeder = DevicePrefetcher(train_batcher, put_fn=put)
     test_iter = iter(test_batcher)
+    log("feeder started; entering train loop")
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     slow_dog = SlowdownWatchdog(cfg.train.restart_slowdown_ratio)
@@ -233,9 +234,21 @@ def train(args):
             # for the NEXT bucket — concurrent first-jit deadlocks on this
             # backend, so both sides serialize on the shared lock (cheap
             # once compiled: uncontended acquire per dispatch).
+            if steps_since_sync == 0 and step == start_step:
+                # init-phase hang forensics: the three RPCs most likely to
+                # wedge after a resume are (a) the feeder's first gather,
+                # (b) the first train-step compile, (c) the first fetch.
+                # One log line before each makes a HangWatchdog postmortem
+                # attributable (observed: two 20-min wedges after
+                # "Resuming from step 90000" with no further output).
+                log("first batch received; dispatching first train step")
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
                 with COMPILE_LOCK:
                     state, metrics = step_fn(state, batch, rng)
+            if step == start_step:
+                log("first train step dispatched; fetching loss")
+                log(f"first loss fetched: {float(metrics['loss']):.5f}")
+                hang_dog.beat()
             step += 1
             steps_since_sync += 1
             boundary = (step % sync_every == 0
@@ -326,7 +339,6 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def main():
-    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--data_paths", type=lambda s: s.split(","), required=True)
     p.add_argument("--log_dir", default=None)
@@ -351,6 +363,7 @@ def main():
                    help="override train.max_host_rss_gb watchdog limit")
     args = p.parse_args()
     set_platform(args.platform)
+    enable_compilation_cache()  # after set_platform: gate needs the real platform
     if args.load_path and args.initialize_path:
         p.error("--load_path and --initialize_path are mutually exclusive")
     train(args)

@@ -231,7 +231,6 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def main():
-    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", type=lambda s: s.split(","), required=True)
     p.add_argument("--log_dir", default=None)
@@ -250,6 +249,7 @@ def main():
                    help="override train.max_host_rss_gb watchdog limit")
     args = p.parse_args()
     set_platform(args.platform)
+    enable_compilation_cache()  # after set_platform: gate needs the real platform
     if args.load_path and args.initialize_path:
         p.error("--load_path and --initialize_path are mutually exclusive")
     train(args)

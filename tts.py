@@ -19,7 +19,6 @@ from tacotron_wavenet_vocoder_korean_tpu.utils.misc import (
 
 
 def main():
-    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--tacotron", required=True, help="tacotron run dir")
     p.add_argument("--wavenet", default=None,
@@ -32,6 +31,7 @@ def main():
     add_platform_arg(p)
     args = p.parse_args()
     set_platform(args.platform)
+    enable_compilation_cache()  # after set_platform: gate needs the real platform
 
     pipe = TTSPipeline().load(args.tacotron, args.wavenet,
                               fused_rnn=args.fused_rnn)
