@@ -268,6 +268,13 @@ class TrainConfig:
     # disables.  Run campaigns under a supervisor loop that resumes with
     # --load_path when the process exits 42.
     hang_timeout_s: float = 1200.0
+    # Grace before the FIRST beat of a process: restore + whole-train-step
+    # compile + first fetch happen before the loop can beat, and on slow
+    # backend days that chain legitimately exceeds hang_timeout_s (observed
+    # >20 min on 2026-08-20; each premature kill re-wedged the chip ~40 min
+    # and the campaign never reached step 1).  After the first beat the
+    # steady-state hang_timeout_s applies.  Ignored unless > hang_timeout_s.
+    first_hang_timeout_s: float = 2700.0
 
 
 @dataclass(frozen=True)

@@ -87,10 +87,22 @@ class HangWatchdog:
     EXIT_CODE = 42
 
     def __init__(self, timeout_s: float,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 first_timeout_s: float = None):
         self.timeout_s = timeout_s
+        # Grace period before the FIRST beat: a resume pays restore + the
+        # full train-step compile + the first result fetch before the loop
+        # can beat, and on slow-backend days that legitimately exceeds the
+        # steady-state timeout (observed 2026-08-20: two consecutive
+        # resumes killed at 1200s mid-compile, each hard-exit re-wedging
+        # the chip for ~40 min — a kill loop that never reaches step 1).
+        # Only a first_timeout_s larger than timeout_s is meaningful.
+        self.first_timeout_s = (
+            first_timeout_s
+            if first_timeout_s and first_timeout_s > timeout_s else None)
         self._log = log_fn
         self._last = time.monotonic()
+        self._beaten = False
         self._stopped = False
         if timeout_s and timeout_s > 0:
             t = threading.Thread(target=self._watch, daemon=True,
@@ -99,6 +111,7 @@ class HangWatchdog:
 
     def beat(self) -> None:
         self._last = time.monotonic()
+        self._beaten = True
 
     def stop(self) -> None:
         """Disarm (clean shutdown paths: num_steps reached, Ctrl-C save)."""
@@ -107,12 +120,16 @@ class HangWatchdog:
     def _watch(self) -> None:
         while not self._stopped:
             time.sleep(min(30.0, self.timeout_s / 4))
+            in_grace = self.first_timeout_s and not self._beaten
+            limit = self.first_timeout_s if in_grace else self.timeout_s
             stalled = time.monotonic() - self._last
-            if not self._stopped and stalled > self.timeout_s:
+            if not self._stopped and stalled > limit:
                 try:
+                    phase = ("no first beat (restore/compile phase)"
+                             if in_grace else "no train-loop progress")
                     self._log(
-                        f"HangWatchdog: no train-loop progress for "
-                        f"{stalled:.0f}s (> {self.timeout_s:.0f}s) — device "
+                        f"HangWatchdog: {phase} for "
+                        f"{stalled:.0f}s (> {limit:.0f}s) — device "
                         f"RPC presumed wedged; hard-exiting {self.EXIT_CODE} "
                         f"so the lease expires and a supervisor can resume "
                         f"from the last checkpoint")

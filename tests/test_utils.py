@@ -337,6 +337,48 @@ def HangWatchdogExit():
     return HangWatchdog.EXIT_CODE
 
 
+@pytest.mark.slow
+def test_hang_watchdog_first_beat_grace():
+    """Before the FIRST beat the (larger) first_timeout_s applies — a slow
+    restore+compile must not be killed at the steady-state timeout — and
+    the moment a beat arrives the normal timeout takes over."""
+    import subprocess
+    import sys as _sys
+    prog = """
+import sys, time
+sys.path.insert(0, {root!r})
+from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import HangWatchdog
+mode = sys.argv[1]
+if mode == "grace-holds":
+    dog = HangWatchdog(0.3, first_timeout_s=4.0)
+    time.sleep(1.2)   # > timeout_s but within grace: must survive
+    dog.beat()
+    dog.stop()
+    sys.exit(0)
+elif mode == "grace-then-normal":
+    dog = HangWatchdog(0.3, first_timeout_s=30.0)
+    dog.beat()        # first beat ends the grace period
+    time.sleep(5)     # normal 0.3s timeout now applies -> exits 42
+    sys.exit(1)
+else:  # grace-expires
+    dog = HangWatchdog(0.3, first_timeout_s=1.0)
+    time.sleep(10)    # never beats; grace 1.0s expires -> exits 42
+    sys.exit(1)
+"""
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    prog = prog.format(root=root)
+    r = subprocess.run([_sys.executable, "-c", prog, "grace-holds"],
+                       timeout=30)
+    assert r.returncode == 0
+    r = subprocess.run([_sys.executable, "-c", prog, "grace-then-normal"],
+                       timeout=30)
+    assert r.returncode == HangWatchdogExit()
+    r = subprocess.run([_sys.executable, "-c", prog, "grace-expires"],
+                       timeout=30)
+    assert r.returncode == HangWatchdogExit()
+
+
 def test_supervise_script_retries_then_succeeds(tmp_path):
     """scripts/supervise.sh resumes a crashed campaign: retries non-zero
     exits and adds --load_path once a checkpoint exists."""

@@ -154,7 +154,8 @@ def train(args):
     # Armed BEFORE any device work: init-phase RPCs (store
     # upload, init_state, restore) can wedge exactly like a
     # train step and must also trigger recovery.
-    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log)
+    hang_dog = HangWatchdog(cfg.train.hang_timeout_s, log_fn=log,
+                            first_timeout_s=cfg.train.first_hang_timeout_s)
 
     mesh = make_mesh() if args.use_mesh else None
     if mesh is not None:
