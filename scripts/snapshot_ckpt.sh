@@ -28,6 +28,17 @@ EXTRA=()
 for f in params.json config.json metrics.jsonl eval.json eval_history.jsonl; do
     [ -f "$LOG_DIR/$f" ] && EXTRA+=("$f")
 done
+# Best-heldout checkpoint (train_tacotron.py best_eval_batches retention):
+# rides along so the quality-argmin snapshot survives VM resets too.
+if [ -d "$LOG_DIR/best/ckpt" ]; then
+    BEST_STEP=$(ls "$LOG_DIR/best/ckpt" | grep -E '^[0-9]+$' | sort -n | tail -1)
+    if [ -n "$BEST_STEP" ]; then
+        EXTRA+=("best/ckpt/$BEST_STEP")
+        for f in best/params.json best/best.json best/eval.json; do
+            [ -f "$LOG_DIR/$f" ] && EXTRA+=("$f")
+        done
+    fi
+fi
 tar czf "$TMP" -C "$LOG_DIR" "ckpt/$STEP" "${EXTRA[@]}"
 mv "$TMP" "$ART_DIR/$RUN.ckpt.tar.gz"
 echo "$STEP" > "$ART_DIR/$RUN.step"

@@ -55,7 +55,8 @@ class Decoder(nn.Module):
                  is_manual_attention: Optional[jnp.ndarray],
                  speaker_embed: Optional[jnp.ndarray],
                  init_states: Optional[Dict[str, Any]],
-                 free_run: bool, deterministic: bool):
+                 free_run: bool, deterministic: bool,
+                 teacher_force_prob: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         B = values.shape[0]
         T_in = values.shape[1]
@@ -98,9 +99,9 @@ class Decoder(nn.Module):
         scan = nn.scan(
             lambda module, carry, xs: module(
                 carry, xs, keys, values, mask, speaker_embed,
-                free_run, deterministic),
+                free_run, deterministic, teacher_force_prob),
             variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
+            split_rngs={"params": False, "dropout": True, "ss": True},
             in_axes=0, out_axes=0, length=max_steps,
             unroll=cfg.scan_unroll,
         )
@@ -125,12 +126,27 @@ class _ScanDecoderStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry: DecoderCarry, xs, keys, values, mask,
-                 speaker_embed, free_run, deterministic):
+                 speaker_embed, free_run, deterministic,
+                 teacher_force_prob=None):
         cfg = self.cfg
         dt = self.dtype or jnp.float32
         teacher_frame, manual_alignment, use_manual = xs
 
-        frame_in = jnp.where(free_run, carry.prev_frame, teacher_frame)
+        if teacher_force_prob is None or not self.has_rng("ss"):
+            frame_in = jnp.where(free_run, carry.prev_frame, teacher_frame)
+        else:
+            # Scheduled sampling (Bengio et al. 2015): per example per step,
+            # feed the teacher's r-th frame with prob p, the model's own
+            # previous output otherwise.  Exposure-bias mitigation the
+            # reference lacks (its helpers.py:36-47 always teacher-force);
+            # p=1.0 reproduces the reference path exactly.
+            use_teacher = jax.random.bernoulli(
+                self.make_rng("ss"), teacher_force_prob,
+                (teacher_frame.shape[0],))
+            take_teacher = jnp.logical_and(
+                jnp.logical_not(free_run), use_teacher)
+            frame_in = jnp.where(take_teacher[:, None], teacher_frame,
+                                 carry.prev_frame)
 
         x = Prenet(cfg.dec_prenet_sizes, cfg.dropout_prob, dtype=self.dtype,
                    name="decoder_prenet")(frame_in, deterministic)
@@ -194,7 +210,8 @@ class Tacotron(nn.Module):
                  manual_alignments: Optional[jnp.ndarray] = None,
                  is_manual_attention: Optional[jnp.ndarray] = None,
                  train: bool = True, free_run: bool = False,
-                 max_iters: Optional[int] = None):
+                 max_iters: Optional[int] = None,
+                 teacher_force_prob: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         B, T_in = inputs.shape
         deterministic = not train
@@ -299,7 +316,8 @@ class Tacotron(nn.Module):
             cfg=cfg, num_mels=num_mels, dtype=dt, name="decoder")(
                 keys, values, mask, max_steps, teacher, manual_t,
                 is_manual_attention, speaker_embed, decoder_init_states,
-                free_run, dec_deterministic)
+                free_run, dec_deterministic,
+                teacher_force_prob=teacher_force_prob)
 
         # --- Post-net CBHG -> linear spectrogram (tacotron.py:206-219)
         post_out = CBHG(
@@ -360,6 +378,16 @@ def tacotron_loss(outputs: Dict[str, jnp.ndarray],
         "linear_loss": linear_loss,
         "loss_without_coeff": mel_loss + linear_loss,
     }
+
+
+def scheduled_sampling_prob(cfg: TacotronConfig, step) -> jnp.ndarray:
+    """Teacher-forcing probability at ``step``: 1.0 until ``ss_start_step``,
+    then linear to ``ss_final_prob`` over ``ss_ramp_steps``, constant after.
+    Differentiable-free scalar; safe to trace (step may be a tracer)."""
+    s = jnp.asarray(step, jnp.float32)
+    frac = jnp.clip((s - cfg.ss_start_step) / max(cfg.ss_ramp_steps, 1),
+                    0.0, 1.0)
+    return 1.0 + frac * (cfg.ss_final_prob - 1.0)
 
 
 def learning_rate_schedule(cfg: TacotronConfig,

@@ -16,7 +16,9 @@ import optax
 from flax.core import FrozenDict
 
 from ..config import Config
-from ..models.tacotron import Tacotron, tacotron_loss, learning_rate_schedule
+from ..models.tacotron import (Tacotron, tacotron_loss,
+                               learning_rate_schedule,
+                               scheduled_sampling_prob)
 from ..parallel.mesh import Mesh, batch_sharding, replicated
 
 
@@ -87,19 +89,26 @@ class TacotronTask:
             get("speaker_id"), get("mel_targets"))
 
     # ------------------------------------------------------------------
-    def loss_fn(self, params, batch_stats, batch, rng):
+    def loss_fn(self, params, batch_stats, batch, rng,
+                teacher_force_prob=None):
         variables = {"params": params, "batch_stats": batch_stats}
         # targets may arrive as f16 (transfer_dtype — the tunnel is
         # bandwidth-bound); upcast on device, loss math stays f32
         mel_t = batch["mel_targets"].astype(jnp.float32)
         lin_t = batch["linear_targets"].astype(jnp.float32)
+        rngs = {"dropout": rng}
+        if teacher_force_prob is not None:
+            # scheduled sampling: independent stream so the dropout draw
+            # (and thus the exact reference path when disabled) is unchanged
+            rngs["ss"] = jax.random.fold_in(rng, 7)
         outputs, mutated = self.model.apply(
             variables,
             batch["inputs"], batch["input_lengths"],
             speaker_id=batch["speaker_id"],
             mel_targets=mel_t,
             train=True,
-            rngs={"dropout": rng},
+            teacher_force_prob=teacher_force_prob,
+            rngs=rngs,
             mutable=["batch_stats"],
         )
         losses = tacotron_loss(outputs, mel_t,
@@ -113,15 +122,20 @@ class TacotronTask:
                    rng: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
+        tf_prob = None
+        if self.cfg.tacotron.scheduled_sampling:
+            tf_prob = scheduled_sampling_prob(self.cfg.tacotron, state.step)
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
         (loss, (losses, _, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, step_rng)
+            state.params, state.batch_stats, batch, step_rng, tf_prob)
         updates, new_opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["learning_rate"] = self.lr_schedule(state.step)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if tf_prob is not None:
+            metrics["teacher_force_prob"] = tf_prob
         return TrainState(state.step + 1, new_params, new_stats,
                           new_opt_state), metrics
 

@@ -18,7 +18,7 @@ import sys
 import threading
 import time
 from collections import deque
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 
 _warned_no_psutil = False
@@ -88,7 +88,7 @@ class HangWatchdog:
 
     def __init__(self, timeout_s: float,
                  log_fn: Callable[[str], None] = print,
-                 first_timeout_s: float = None):
+                 first_timeout_s: Optional[float] = None):
         self.timeout_s = timeout_s
         # Grace period before the FIRST beat: a resume pays restore + the
         # full train-step compile + the first result fetch before the loop
@@ -97,12 +97,18 @@ class HangWatchdog:
         # resumes killed at 1200s mid-compile, each hard-exit re-wedging
         # the chip for ~40 min — a kill loop that never reaches step 1).
         # Only a first_timeout_s larger than timeout_s is meaningful.
+        if first_timeout_s and timeout_s and first_timeout_s <= timeout_s:
+            log_fn(f"HangWatchdog: ignoring first_timeout_s="
+                   f"{first_timeout_s:.0f}s <= steady-state timeout "
+                   f"{timeout_s:.0f}s (a grace period only makes sense "
+                   f"when it is longer)")
         self.first_timeout_s = (
             first_timeout_s
             if first_timeout_s and first_timeout_s > timeout_s else None)
         self._log = log_fn
         self._last = time.monotonic()
         self._beaten = False
+        self._grace_until_beat = False
         self._stopped = False
         if timeout_s and timeout_s > 0:
             t = threading.Thread(target=self._watch, daemon=True,
@@ -112,6 +118,21 @@ class HangWatchdog:
     def beat(self) -> None:
         self._last = time.monotonic()
         self._beaten = True
+        self._grace_until_beat = False
+
+    def expect_compile(self) -> None:
+        """Apply the first-beat grace window until the NEXT beat.
+
+        Call before dispatching work known to first-compile: with the
+        persistent compile cache disabled on axon, a NEW shape bucket's
+        first compile after a trainer restart happens mid-run (long after
+        the first beat) and can legitimately exceed the steady-state
+        timeout on a slow-backend day — the same kill-loop failure mode the
+        first-beat grace fixed, recurring mid-run (ADVICE r4).  No-op
+        without a configured first_timeout_s."""
+        if self.first_timeout_s:
+            self._last = time.monotonic()
+            self._grace_until_beat = True
 
     def stop(self) -> None:
         """Disarm (clean shutdown paths: num_steps reached, Ctrl-C save)."""
@@ -120,7 +141,8 @@ class HangWatchdog:
     def _watch(self) -> None:
         while not self._stopped:
             time.sleep(min(30.0, self.timeout_s / 4))
-            in_grace = self.first_timeout_s and not self._beaten
+            in_grace = self.first_timeout_s and (
+                not self._beaten or self._grace_until_beat)
             limit = self.first_timeout_s if in_grace else self.timeout_s
             stalled = time.monotonic() - self._last
             if not self._stopped and stalled > limit:

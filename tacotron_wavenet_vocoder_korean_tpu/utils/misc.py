@@ -76,9 +76,7 @@ def enable_compilation_cache(path: str = None) -> None:
     import jax
     if os.environ.get("TWVK_NO_COMPILE_CACHE", "") == "1":
         return
-    platforms = (getattr(jax.config, "jax_platforms", None)
-                 or os.environ.get("JAX_PLATFORMS", "") or "")
-    if ("axon" in str(platforms)
+    if (effective_platform() == "axon"
             and os.environ.get("TWVK_FORCE_COMPILE_CACHE", "") != "1"):
         return
     path = path or os.path.expanduser("~/.cache/twvk_jax_cache")
@@ -88,6 +86,28 @@ def enable_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs
+
+
+def effective_platform() -> str:
+    """The PRIMARY platform jax will actually use, lowercased.
+
+    Single source of truth for platform-conditional behavior (the axon
+    compile-cache gate): prefers jax.config (set_platform writes there, and
+    sitecustomize pins the image default there), falls back to the
+    JAX_PLATFORMS env var, then to the initialized backend.  Multi-platform
+    strings like 'cpu,axon' resolve to their first (primary) entry, so a
+    cpu-primary run is never mis-gated by a secondary platform's name
+    appearing in the string (ADVICE r4)."""
+    import jax
+    p = str(getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", "") or "")
+    p = p.split(",")[0].strip().lower()
+    if not p:
+        try:
+            p = str(jax.default_backend()).lower()
+        except Exception:
+            p = ""
+    return p
 
 
 def add_platform_arg(parser) -> None:

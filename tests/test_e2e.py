@@ -252,6 +252,81 @@ def test_wavenet_generator_quantized_temperature(tmp_path):
     assert np.abs(wav).max() <= 1.0   # decoded out of mu-law space
 
 
+def _tiny_moon_corpus(tmp_path, n_clips=6):
+    """Preprocess a small subset of the bundled moon corpus into
+    tmp_path/data; returns the data dir (or skips if absent)."""
+    import json
+    import shutil
+
+    from tacotron_wavenet_vocoder_korean_tpu import data as D
+
+    ref = "/root/reference/datasets/moon"
+    if not os.path.exists(os.path.join(ref, "moon-recognition-All.json")):
+        pytest.skip("bundled moon corpus not present")
+    in_dir = tmp_path / "in"
+    (in_dir / "audio").mkdir(parents=True)
+    with open(os.path.join(ref, "moon-recognition-All.json"),
+              encoding="utf-8") as f:
+        full = json.load(f)
+    subset = dict(list(full.items())[:n_clips])
+    for key in subset:
+        name = key.strip().split("/")[-1]
+        shutil.copy(os.path.join(ref, "audio", name), in_dir / "audio" / name)
+    with open(in_dir / "moon-recognition-All.json", "w",
+              encoding="utf-8") as f:
+        json.dump(subset, f, ensure_ascii=False)
+    data_dir = tmp_path / "data"
+    D.preprocess_corpus(Config(), "moon", str(in_dir), str(data_dir),
+                        num_workers=1)
+    return data_dir
+
+
+def test_best_checkpoint_retention(tmp_path):
+    """train_tacotron.py with train.best_eval_batches>0 must retain the
+    heldout-eval argmin checkpoint under <log_dir>/best as a loadable run
+    dir (the reference instead keeps EVERY checkpoint so the best can be
+    picked post-hoc — train_tacotron.py:165 max_to_keep=None; scoring fixed
+    heldout batches online gets the same outcome at bounded disk)."""
+    import json
+    import subprocess
+    import sys
+
+    data_dir = _tiny_moon_corpus(tmp_path)
+    log_dir = tmp_path / "run"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "train_tacotron.py"),
+         "--platform", "cpu", "--data_paths", str(data_dir),
+         "--log_dir", str(log_dir), "--num_steps", "30",
+         "--batch_size", "2", "--skip_path_filter", "--hparams",
+         "tacotron.enc_bank_size=2,tacotron.enc_bank_channel_size=16,"
+         "tacotron.enc_rnn_size=16,tacotron.enc_prenet_sizes=[32,16],"
+         "tacotron.enc_proj_sizes=[16,16],tacotron.attention_size=16,"
+         "tacotron.attention_state_size=16,tacotron.dec_rnn_size=16,"
+         "tacotron.dec_prenet_sizes=[32,16],tacotron.post_bank_size=2,"
+         "tacotron.post_bank_channel_size=16,tacotron.post_rnn_size=16,"
+         "tacotron.post_proj_sizes=[32,80],tacotron.embedding_size=16,"
+         "tacotron.max_iters=8,tacotron.scheduled_sampling=True,"
+         "tacotron.ss_start_step=0,tacotron.ss_ramp_steps=10,"
+         "train.test_interval=10,train.sync_every=10,"
+         "train.best_eval_batches=1,train.device_resident_data=False"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=900)
+    out = proc.stdout.decode(errors="replace")
+    assert proc.returncode == 0, out[-3000:]
+    best_dir = log_dir / "best"
+    steps = [d for d in os.listdir(best_dir / "ckpt") if d.isdigit()]
+    assert len(steps) == 1, f"expected exactly one best ckpt, got {steps}"
+    with open(best_dir / "best.json", encoding="utf-8") as f:
+        best = json.load(f)
+    assert best["step"] == int(steps[0])
+    assert np.isfinite(best["eval_loss"])
+    assert "new best heldout eval loss" in out
+    # the best dir is a loadable run dir
+    synth = Synthesizer().load(str(best_dir))
+    assert synth.step == int(steps[0])
+
+
 def test_stop_file_graceful_campaign_exit(tmp_path):
     """Campaign wind-down contract: `touch LOG_DIR/STOP` makes the train
     driver save a checkpoint and exit 0 (so supervise.sh stops instead of

@@ -7,7 +7,7 @@ import pytest
 from tacotron_wavenet_vocoder_korean_tpu.config import (
     Config, TacotronConfig, AudioConfig)
 from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import (
-    Tacotron, tacotron_loss, learning_rate_schedule)
+    Tacotron, tacotron_loss, learning_rate_schedule, scheduled_sampling_prob)
 from tacotron_wavenet_vocoder_korean_tpu.models import attention as A
 from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
     TacotronTask, batch_to_dict)
@@ -584,6 +584,89 @@ def test_teacher_forcing_is_causal():
                                rtol=1e-5, atol=1e-5)
     # the perturbation must reach later blocks (teacher input at step 2)
     assert np.abs(got[:, 2 * r:] - base[:, 2 * r:]).max() > 1e-3
+
+
+def test_scheduled_sampling_prob_ramp():
+    """1.0 before ss_start_step, linear to ss_final_prob, constant after."""
+    cfg = TacotronConfig(scheduled_sampling=True, ss_final_prob=0.7,
+                         ss_start_step=100, ss_ramp_steps=200)
+    assert float(scheduled_sampling_prob(cfg, 0)) == 1.0
+    assert float(scheduled_sampling_prob(cfg, 100)) == 1.0
+    mid = float(scheduled_sampling_prob(cfg, 200))
+    assert abs(mid - 0.85) < 1e-6
+    assert abs(float(scheduled_sampling_prob(cfg, 300)) - 0.7) < 1e-6
+    assert abs(float(scheduled_sampling_prob(cfg, 10 ** 6)) - 0.7) < 1e-6
+
+
+def test_scheduled_sampling_boundary_probs_match_reference_paths():
+    """p=1.0 must reproduce exact teacher forcing; p=0.0 must reproduce the
+    free-running decode — the scheduled-sampling mix (models/tacotron.py
+    _ScanDecoderStep) degenerates to the two reference paths
+    (helpers.py:36-47 teacher / helpers.py:84-88 free-run) at the
+    endpoints, so checkpoints are interchangeable across the flag."""
+    cfg = tiny_cfg(dropout_prob=0.0)
+    batch = make_batch()
+    model = Tacotron(cfg=cfg, audio=AUDIO)
+    variables = model.init({"params": RNG, "dropout": RNG},
+                           batch["inputs"], batch["input_lengths"],
+                           speaker_id=batch["speaker_id"],
+                           mel_targets=batch["mel_targets"], train=True)
+    v = {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}
+
+    def run(**kw):
+        out = model.apply(v, batch["inputs"], batch["input_lengths"],
+                          speaker_id=batch["speaker_id"],
+                          mel_targets=batch["mel_targets"],
+                          train=False, **kw)
+        return np.asarray(out["mel_outputs"])
+
+    base_tf = run()
+    ss_rngs = {"ss": jax.random.PRNGKey(3)}
+    got_p1 = run(teacher_force_prob=jnp.asarray(1.0), rngs=ss_rngs)
+    np.testing.assert_allclose(got_p1, base_tf, atol=0)
+
+    base_free = run(free_run=True)
+    got_p0 = run(teacher_force_prob=jnp.asarray(0.0), rngs=ss_rngs)
+    np.testing.assert_allclose(got_p0, base_free, atol=0)
+
+    # intermediate p actually mixes: differs from both endpoints
+    got_mid = run(teacher_force_prob=jnp.asarray(0.5), rngs=ss_rngs)
+    assert np.abs(got_mid - base_tf).max() > 1e-6
+    assert np.abs(got_mid - base_free).max() > 1e-6
+
+
+def test_scheduled_sampling_train_step():
+    """A train step with scheduled_sampling=True optimizes, reports the
+    ramped teacher_force_prob, and leaves the param tree unchanged (no new
+    params -> checkpoints interchangeable)."""
+    cfg = Config(tacotron=tiny_cfg(
+        scheduled_sampling=True, ss_final_prob=0.5,
+        ss_start_step=0, ss_ramp_steps=2, initial_phase_step=0))
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    raw = make_batch()
+    tb = TacotronBatch(
+        inputs=np.asarray(raw["inputs"]),
+        input_lengths=np.asarray(raw["input_lengths"]),
+        loss_coeff=np.asarray(raw["loss_coeff"]),
+        mel_targets=np.asarray(raw["mel_targets"]),
+        linear_targets=np.asarray(raw["linear_targets"]),
+        speaker_id=np.asarray(raw["speaker_id"]))
+    state = task.init_state(RNG, tb)
+    # same param tree as the vanilla config (no extra params)
+    vanilla = TacotronTask(Config(tacotron=tiny_cfg(initial_phase_step=0)),
+                           is_randomly_initialized=True)
+    assert (jax.tree_util.tree_structure(vanilla.init_state(RNG, tb).params)
+            == jax.tree_util.tree_structure(state.params))
+    step = task.jit_train_step()
+    b = batch_to_dict(tb)
+    probs = []
+    for _ in range(3):
+        state, metrics = step(state, b, RNG)
+        assert np.isfinite(float(metrics["loss"]))
+        probs.append(float(metrics["teacher_force_prob"]))
+    # ramp 1.0 -> 0.5 over 2 steps from step 0
+    np.testing.assert_allclose(probs, [1.0, 0.75, 0.5], atol=1e-6)
 
 
 def test_abstract_state_matches_init_state():

@@ -360,6 +360,17 @@ elif mode == "grace-then-normal":
     dog.beat()        # first beat ends the grace period
     time.sleep(5)     # normal 0.3s timeout now applies -> exits 42
     sys.exit(1)
+elif mode == "expect-compile":
+    # mid-run new-bucket compile (ADVICE r4): after the first beat,
+    # expect_compile() must re-apply the grace window until the next beat,
+    # and that beat must restore the steady-state timeout.
+    dog = HangWatchdog(0.3, first_timeout_s=4.0)
+    dog.beat()            # steady state now
+    dog.expect_compile()  # new shape bucket about to first-compile
+    time.sleep(1.2)       # > timeout_s but within grace: must survive
+    dog.beat()
+    dog.stop()
+    sys.exit(0)
 else:  # grace-expires
     dog = HangWatchdog(0.3, first_timeout_s=1.0)
     time.sleep(10)    # never beats; grace 1.0s expires -> exits 42
@@ -374,6 +385,9 @@ else:  # grace-expires
     r = subprocess.run([_sys.executable, "-c", prog, "grace-then-normal"],
                        timeout=30)
     assert r.returncode == HangWatchdogExit()
+    r = subprocess.run([_sys.executable, "-c", prog, "expect-compile"],
+                       timeout=30)
+    assert r.returncode == 0
     r = subprocess.run([_sys.executable, "-c", prog, "grace-expires"],
                        timeout=30)
     assert r.returncode == HangWatchdogExit()

@@ -207,6 +207,29 @@ def train(args):
     step_fn = task.jit_train_step(mesh)
     eval_fn = task.jit_eval_step()
 
+    # Best-heldout checkpoint retention (cfg.train.best_eval_batches): the
+    # reference keeps EVERY checkpoint so the best can be picked post-hoc
+    # (max_to_keep=None, reference train_tacotron.py:165); we instead score
+    # fixed heldout batches with the free-running eval model every
+    # test_interval and keep the argmin under <log_dir>/best/ — a loadable
+    # run dir (params.json + ckpt/<step>).  Survives resumes via best.json.
+    best_mgr, fixed_eval_batches, best_json = None, [], None
+    if cfg.train.best_eval_batches > 0:
+        best_dir = os.path.join(log_dir, "best")
+        prepare_run_dir(best_dir, cfg)
+        best_mgr = CheckpointManager(best_dir, max_to_keep=1)
+        best_json = os.path.join(best_dir, "best.json")
+        fixed_iter = iter(TacotronBatcher(args.data_paths, cfg, "test"))
+        fixed_eval_batches = [batch_to_dict(next(fixed_iter))
+                              for _ in range(cfg.train.best_eval_batches)]
+    best_eval_loss = float("inf")
+    if best_json and os.path.exists(best_json):
+        with open(best_json, encoding="utf-8") as f:
+            prev = json.load(f)
+        best_eval_loss = float(prev.get("eval_loss", float("inf")))
+        log(f"best-checkpoint tracker resumed: step {prev.get('step')} "
+            f"eval_loss {best_eval_loss:.5f}")
+
     tdt = cfg.train.transfer_dtype
     if use_store:
         put = lambda b: b          # batches are already device dicts
@@ -221,6 +244,21 @@ def train(args):
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     slow_dog = SlowdownWatchdog(cfg.train.restart_slowdown_ratio)
     step = start_step
+    # Shape buckets already dispatched in THIS process.  With the
+    # persistent compile cache disabled on axon, every bucket's first
+    # dispatch after a restart first-compiles (~minutes on a slow-backend
+    # day) — extend the watchdog's grace window around those so a
+    # legitimate mid-run compile can't trip the steady-state timeout
+    # (ADVICE r4; the first-beat-only grace left later buckets exposed).
+    seen_buckets = set()
+
+    def note_bucket(kind, b):
+        key = (kind,) + tuple(
+            (k, tuple(v.shape)) for k, v in sorted(b.items())
+            if hasattr(v, "shape"))
+        if key not in seen_buckets:
+            seen_buckets.add(key)
+            hang_dog.expect_compile()
     # Pipelined dispatch: fetching loss to host every step costs a full
     # RPC round trip on the tunneled chip (~100ms) and serializes
     # dispatch with compute.  Only sync at the log cadence; in between,
@@ -243,6 +281,7 @@ def train(args):
                 # attributable (observed: two 20-min wedges after
                 # "Resuming from step 90000" with no further output).
                 log("first batch received; dispatching first train step")
+            note_bucket("train", batch)
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
                 with COMPILE_LOCK:
                     state, metrics = step_fn(state, batch, rng)
@@ -306,6 +345,7 @@ def train(args):
 
             if step % cfg.train.test_interval == 0:
                 test_batch = batch_to_dict(next(test_iter))
+                note_bucket("eval", test_batch)
                 with COMPILE_LOCK:
                     eval_out = eval_fn(state, test_batch)
                 log(f"  eval: loss={float(eval_out['loss']):.5f} "
@@ -318,6 +358,23 @@ def train(args):
                     "gap_test_train": float(eval_out["loss"]) - loss,
                 })
                 save_and_plot(log_dir, step, eval_out, test_batch, cfg)
+                if best_mgr is not None:
+                    for b in fixed_eval_batches:
+                        note_bucket("eval", b)
+                    with COMPILE_LOCK:
+                        scores = [float(eval_fn(state, b)["loss_without_coeff"])
+                                  for b in fixed_eval_batches]
+                    hang_dog.beat()
+                    fixed_loss = float(np.mean(scores))
+                    metrics_writer.write(step, {"best_eval_loss": fixed_loss})
+                    if fixed_loss < best_eval_loss:
+                        best_eval_loss = fixed_loss
+                        log(f"  new best heldout eval loss {fixed_loss:.5f}; "
+                            f"retaining checkpoint at step {step}")
+                        best_mgr.save(step, state)
+                        with open(best_json, "w", encoding="utf-8") as f:
+                            json.dump({"step": step,
+                                       "eval_loss": fixed_loss}, f)
 
             if args.num_steps and step >= args.num_steps:
                 log(f"Reached num_steps={args.num_steps}; saving and exiting")
@@ -332,6 +389,8 @@ def train(args):
     finally:
         feeder.stop()
         ckpt.close()
+        if best_mgr is not None:
+            best_mgr.close()
         hang_dog.stop()
 
 

@@ -138,9 +138,20 @@ def train(args):
             # COMPILE_LOCK: serialize this step's possible first-jit against
             # the DevicePrefetcher thread's gather compiles (concurrent
             # first-jit deadlocks on this backend; uncontended once warm).
+            if step == start_step and steps_since_sync == 0:
+                # init-phase hang forensics (mirrors train_tacotron.py): one
+                # line before the first gather/compile/fetch RPCs makes a
+                # HangWatchdog postmortem attributable to a phase.
+                log("first batch received; dispatching first train step")
             with maybe_trace_step(step, log_dir, cfg.train.store_metadata):
                 with COMPILE_LOCK:
                     state, metrics = step_fn(state, batch)
+            if step == start_step:
+                log("first train step dispatched; fetching loss")
+                log(f"first loss fetched: {float(metrics['loss']):.5f}")
+                # end the first-beat grace at the first COMPLETED step, not
+                # at the first sync boundary ~sync_every steps later
+                hang_dog.beat()
             step += 1
             steps_since_sync += 1
             boundary = (step % sync_every == 0
