@@ -76,18 +76,28 @@ def _emit(error: str | None = None):
     print(json.dumps(out), flush=True)
 
 
-def _xla_flops(jitted, *args) -> float | None:
-    """FLOPs of the compiled computation per XLA's cost model (same shapes
-    hit the in-process/persistent compile cache, so this is cheap)."""
+def _aot(jit_fn, *args):
+    """Lower + compile ONCE (AOT) and return (compiled, flops_or_None).
+
+    The single biggest cold-cache budget sink in rounds 3-4 was compiling
+    every program TWICE: once on the first jit dispatch and once more in
+    the old ``_xla_flops`` helper (``.lower().compile()`` does not share
+    the jit executable cache).  Compiling ahead-of-time makes the
+    cost-analysis free and halves per-suite compile cost — with the
+    persistent cache disabled on axon (it wedges the backend, see
+    utils/misc.py), that's the difference between fitting the 600 s budget
+    and skipping suites (BENCH_r04 skipped 3 of 4)."""
+    compiled = jit_fn.lower(*args).compile()
+    flops = None
     try:
-        compiled = jitted.lower(*args).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        f = float(ca.get("flops", 0.0))
+        flops = f if f > 0 else None
     except Exception:
-        return None
+        pass
+    return compiled, flops
 
 
 def _analytic_matmul_flops(params) -> float:
@@ -100,28 +110,18 @@ def _analytic_matmul_flops(params) -> float:
     return 2.0 * total
 
 
-def bench_wavenet(n_frames: int = None, repeats: int = 3) -> dict:
-    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+def _wavenet_gen_setup(w, audio_cfg, n_frames, batch):
+    """Shared builder for the generation suites: (jitted gen, params, mel)."""
     from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
         WaveNet, Upsampler, incremental_generate)
     from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
         pallas_incremental_generate)
 
-    if n_frames is None:
-        n_frames = _DEFAULT_FRAMES
-    cfg = Config()
-    w = cfg.wavenet
-    hop = cfg.audio.hop_size
+    hop = audio_cfg.hop_size
     rng = jax.random.PRNGKey(0)
-
-    # Full-size model, random params (throughput is weight-independent).
-    frames = n_frames
-    audio = jnp.zeros((1, frames * hop, 1), jnp.float32)
-    mel = jax.random.normal(rng, (1, frames, cfg.audio.num_mels))
-    model = WaveNet(w)
-    variables = model.init(rng, audio, mel)
-    params = variables["params"]
-
+    audio = jnp.zeros((1, n_frames * hop, 1), jnp.float32)
+    mel = jax.random.normal(rng, (batch, n_frames, audio_cfg.num_mels))
+    params = WaveNet(w).init(rng, audio, mel[:1])["params"]
     use_pallas = jax.default_backend() != "cpu"
 
     @jax.jit
@@ -131,27 +131,49 @@ def bench_wavenet(n_frames: int = None, repeats: int = 3) -> dict:
             return pallas_incremental_generate(w, params, lc, rng)
         return incremental_generate(w, params, lc, rng)
 
+    return gen, params, mel, rng
+
+
+def _sync(x):
     # NOTE: on the axon tunnel block_until_ready returns early; a host
     # transfer of a scalar is the only reliable sync.
-    def sync(x):
-        return float(jnp.sum(x))
+    return float(jnp.sum(x))
 
-    out = gen(params, mel, rng)
-    sync(out)                         # compile + settle
-    n_samples = out.shape[1]
 
+def _time_best(fn, repeats):
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        sync(gen(params, mel, rng))
+        _sync(fn())
         best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_wavenet(n_frames: int = None, repeats: int = 2) -> dict:
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+
+    if n_frames is None:
+        n_frames = _DEFAULT_FRAMES
+    cfg = Config()
+    # Full-size model, random params (throughput is weight-independent).
+    gen, params, mel, rng = _wavenet_gen_setup(
+        cfg.wavenet, cfg.audio, n_frames, batch=1)
+
+    t0 = time.monotonic()
+    gen_c, flops_total = _aot(gen, params, mel, rng)
+    _publish(wavenet_compile_s=round(time.monotonic() - t0, 1))
+    _await_campaign_quiesce()   # overlapped with the compile above
+    out = gen_c(params, mel, rng)
+    _sync(out)                  # settle
+    n_samples = out.shape[1]
+
+    best = _time_best(lambda: gen_c(params, mel, rng), repeats)
     sps = n_samples / best
 
     # Utilization (VERDICT r2 #6): XLA cost-model FLOPs when available,
     # analytic 2*weights/sample otherwise.  AR generation is dependency-
     # latency bound, so this is expected to be ~0.1% of peak — the field
     # exists so the RTF claim is auditable, not to flatter it.
-    flops_total = _xla_flops(gen, params, mel, rng)
     analytic = _analytic_matmul_flops(params) * n_samples
     if flops_total is None or flops_total < 0.1 * analytic:
         # XLA's cost model undercounts bodies of lax.scan/pallas_call;
@@ -167,28 +189,34 @@ def bench_wavenet(n_frames: int = None, repeats: int = 3) -> dict:
         wavenet_gen_pct_of_bf16_peak=round(
             100.0 * tflops_per_sec / _PEAK_BF16_TFLOPS, 3),
     )
-
-    # Aggregate throughput: 8 streams share the weight-resident kernel.
-    agg_sps = None
-    if use_pallas and _remaining() > 60:
-        mel8 = jax.random.normal(rng, (8, frames, cfg.audio.num_mels))
-        out8 = gen(params, mel8, rng)
-        sync(out8)
-        best8 = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            sync(gen(params, mel8, rng))
-            best8 = min(best8, time.perf_counter() - t0)
-        agg_sps = out8.shape[0] * out8.shape[1] / best8
-        _publish(wavenet_aggregate_samples_per_sec_8stream=round(agg_sps, 1))
-
     return {"samples_per_sec": sps, "gen_seconds": best,
             "n_samples": n_samples,
-            "aggregate_samples_per_sec": agg_sps,
             "realtime_factor": sps / cfg.audio.sample_rate}
 
 
-def bench_tacotron(repeats: int = 3) -> dict:
+def bench_wavenet_aggregate(n_frames: int = None, repeats: int = 2) -> dict:
+    """8 concurrent streams through the weight-resident kernel (serving
+    throughput; the reference's generator is single-stream CPU,
+    generate.py:117)."""
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+
+    if n_frames is None:
+        n_frames = _DEFAULT_FRAMES
+    cfg = Config()
+    gen, params, mel8, rng = _wavenet_gen_setup(
+        cfg.wavenet, cfg.audio, n_frames, batch=8)
+    t0 = time.monotonic()
+    gen_c, _ = _aot(gen, params, mel8, rng)
+    _publish(wavenet_agg8_compile_s=round(time.monotonic() - t0, 1))
+    out8 = gen_c(params, mel8, rng)
+    _sync(out8)
+    best8 = _time_best(lambda: gen_c(params, mel8, rng), repeats)
+    agg_sps = out8.shape[0] * out8.shape[1] / best8
+    _publish(wavenet_aggregate_samples_per_sec_8stream=round(agg_sps, 1))
+    return {"aggregate_samples_per_sec": agg_sps}
+
+
+def bench_tacotron(repeats: int = 2) -> dict:
     import dataclasses
     from tacotron_wavenet_vocoder_korean_tpu.config import Config
     from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import Tacotron
@@ -218,18 +246,14 @@ def bench_tacotron(repeats: int = 3) -> dict:
                           train=False, free_run=True, max_iters=max_iters)
         return out["mel_outputs"]
 
-    def sync(x):
-        return float(jnp.sum(x))
-
-    out = decode(variables, inputs, lengths)
-    sync(out)
+    t0 = time.monotonic()
+    decode_c, _ = _aot(decode, variables, inputs, lengths)
+    _publish(tacotron_compile_s=round(time.monotonic() - t0, 1))
+    out = decode_c(variables, inputs, lengths)
+    _sync(out)
     n_frames = out.shape[1]
 
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        sync(decode(variables, inputs, lengths))
-        best = min(best, time.perf_counter() - t0)
+    best = _time_best(lambda: decode_c(variables, inputs, lengths), repeats)
 
     frame_shift_s = cfg.audio.hop_size / cfg.audio.sample_rate
     audio_seconds = n_frames * frame_shift_s
@@ -241,46 +265,26 @@ def bench_tacotron(repeats: int = 3) -> dict:
 
 
 def bench_wavenet_quantized(n_frames: int = None,
-                            repeats: int = 3) -> dict:
+                            repeats: int = 2) -> dict:
     """Quantized (mulaw-quantize, 256-way softmax) generation at kernel
     speed — the reference treats this path as first-class
     (wavenet/model.py:225-244)."""
     import dataclasses
     from tacotron_wavenet_vocoder_korean_tpu.config import Config
-    from tacotron_wavenet_vocoder_korean_tpu.models.wavenet import (
-        WaveNet, Upsampler, incremental_generate)
-    from tacotron_wavenet_vocoder_korean_tpu.ops.wavenet_pallas import (
-        pallas_incremental_generate)
 
     cfg = Config()
     if n_frames is None:
         n_frames = _DEFAULT_FRAMES
     w = dataclasses.replace(cfg.wavenet, input_type="mulaw-quantize",
                             scalar_input=False, out_channels=256)
-    hop = cfg.audio.hop_size
-    rng = jax.random.PRNGKey(0)
-    audio = jnp.zeros((1, n_frames * hop, 1), jnp.float32)
-    mel = jax.random.normal(rng, (1, n_frames, cfg.audio.num_mels))
-    params = WaveNet(w).init(rng, audio, mel)["params"]
-    use_pallas = jax.default_backend() != "cpu"
-
-    @jax.jit
-    def gen(params, mel, rng):
-        lc = Upsampler(w).apply({"params": params["upsampler"]}, mel)
-        if use_pallas:
-            return pallas_incremental_generate(w, params, lc, rng)
-        return incremental_generate(w, params, lc, rng)
-
-    def sync(x):
-        return float(jnp.sum(x))
-
-    out = gen(params, mel, rng)
-    sync(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        sync(gen(params, mel, rng))
-        best = min(best, time.perf_counter() - t0)
+    gen, params, mel, rng = _wavenet_gen_setup(w, cfg.audio, n_frames,
+                                               batch=1)
+    t0 = time.monotonic()
+    gen_c, _ = _aot(gen, params, mel, rng)
+    _publish(wavenet_quantized_compile_s=round(time.monotonic() - t0, 1))
+    out = gen_c(params, mel, rng)
+    _sync(out)
+    best = _time_best(lambda: gen_c(params, mel, rng), repeats)
     sps = out.shape[1] / best
     _publish(wavenet_quantized_samples_per_sec=round(sps, 1),
              wavenet_quantized_realtime_factor=round(
@@ -289,7 +293,7 @@ def bench_wavenet_quantized(n_frames: int = None,
             "realtime_factor": sps / cfg.audio.sample_rate}
 
 
-def bench_train_steps(repeats: int = 5) -> dict:
+def bench_train_steps(repeats: int = 3) -> dict:
     """Training throughput at the documented campaign shapes (same configs
     and shapes as scripts/bench_train_step.py, so compiles hit the
     persistent cache): Tacotron B=32/T_in=128/T_out=400 with the fast knobs
@@ -325,16 +329,18 @@ def bench_train_steps(repeats: int = 5) -> dict:
     state = task.init_state(key, batch)
     step = task.jit_train_step()
     d = batch_to_dict(batch)
-    state, metrics = step(state, d, key)
+    t0 = time.monotonic()
+    step_c, taco_flops = _aot(step, state, d, key)
+    _publish(tacotron_train_compile_s=round(time.monotonic() - t0, 1))
+    state, metrics = step_c(state, d, key)
     sync(state, metrics)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, metrics = step(state, d, key)
+        state, metrics = step_c(state, d, key)
         sync(state, metrics)
         times.append(time.perf_counter() - t0)
     taco_sec = float(np.median(times))
-    taco_flops = _xla_flops(step, state, d, key)
     taco_tfs = taco_flops / taco_sec / 1e12 if taco_flops else None
     _publish(
         tacotron_train_sec_per_step_B32=round(taco_sec, 4),
@@ -361,16 +367,18 @@ def bench_train_steps(repeats: int = 5) -> dict:
     wstate = wtask.init_state(key, wbatch)
     wstep = wtask.jit_train_step()
     wd = wavenet_batch_to_dict(wbatch)
-    wstate, wmetrics = wstep(wstate, wd)
+    t0 = time.monotonic()
+    wstep_c, wn_flops = _aot(wstep, wstate, wd)
+    _publish(wavenet_train_compile_s=round(time.monotonic() - t0, 1))
+    wstate, wmetrics = wstep_c(wstate, wd)
     sync(wstate, wmetrics)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        wstate, wmetrics = wstep(wstate, wd)
+        wstate, wmetrics = wstep_c(wstate, wd)
         sync(wstate, wmetrics)
         times.append(time.perf_counter() - t0)
     wn_sec = float(np.median(times))
-    wn_flops = _xla_flops(wstep, wstate, wd)
     wn_tfs = wn_flops / wn_sec / 1e12 if wn_flops else None
     _publish(
         wavenet_train_sec_per_step_B4_9k=round(wn_sec, 4),
@@ -416,11 +424,19 @@ def _arm_deadline(seconds: float):
     return t
 
 
-def _stop_live_campaigns(timeout_s: float = 90.0, root: str = None,
-                         force: bool = False):
+_LIVE_CAMPAIGNS: list = []
+
+
+def _stop_live_campaigns(root: str = None, force: bool = False):
     """The scored bench owns the chip: gracefully STOP any live training
     campaign first (round 3 lost the tacotron suite to chip contention from
     a still-running wn_moon trainer — see VERDICT r3).
+
+    NON-BLOCKING (VERDICT r4 weak #6: the old 90 s quiesce wait came
+    straight out of the 600 s budget): STOP files are written immediately
+    and the wait happens in :func:`_await_campaign_quiesce`, which the
+    first suite calls AFTER its multi-minute first compile — the trainer's
+    save-and-exit (~10-30 s) is fully hidden behind the compile.
 
     STOP-file protocol (train drivers): the trainer saves a checkpoint at
     the next sync boundary and exits 0, which also ends its supervisor
@@ -432,22 +448,27 @@ def _stop_live_campaigns(timeout_s: float = 90.0, root: str = None,
     if root is None:
         root = os.path.dirname(os.path.abspath(__file__))
     now = time.time()
-    live = []
     for tl in glob.glob(os.path.join(root, "logs", "*", "train.log")):
         if now - os.path.getmtime(tl) < 120:
             with open(os.path.join(os.path.dirname(tl), "STOP"), "w"):
                 pass
-            live.append(tl)
-    if not live:
+            _LIVE_CAMPAIGNS.append(tl)
+    if _LIVE_CAMPAIGNS:
+        _publish(stopped_campaigns=sorted(
+            os.path.basename(os.path.dirname(t)) for t in _LIVE_CAMPAIGNS))
+
+
+def _await_campaign_quiesce(timeout_s: float = 90.0):
+    """Bounded wait until every STOPped campaign's train.log goes quiet
+    (no writes for 15 s; a live trainer logs every ~4 s, and post-STOP it
+    saves ~4 s and prints a final line)."""
+    if not _LIVE_CAMPAIGNS:
         return
     hard = time.time() + timeout_s
-    for tl in live:
-        # quiesce = no new log writes for 15 s (a live trainer logs every
-        # ~4 s; post-STOP it saves ~4 s and exits with a final line)
+    for tl in _LIVE_CAMPAIGNS:
         while time.time() < hard and time.time() - os.path.getmtime(tl) < 15:
             time.sleep(3)
-    _publish(stopped_campaigns=sorted(
-        os.path.basename(os.path.dirname(t)) for t in live))
+    del _LIVE_CAMPAIGNS[:]
 
 
 def main():
@@ -456,11 +477,15 @@ def main():
     enable_compilation_cache()
     # Primary metric FIRST — everything after this is gravy the deadline
     # may cut.  Each suite _publish()es its fields as it completes.
+    # Order per VERDICT r4: tacotron right after the primary (the only
+    # fields never scored since r01), then train MFU, then the wavenet
+    # extras — so a budget overrun cuts the least-new information.
     suites = [
-        (bench_wavenet, 0),           # primary: always run
-        (bench_tacotron, 45),         # skip extras when the budget is
-        (bench_wavenet_quantized, 45),  # nearly spent — a partial success
-        (bench_train_steps, 60),      # beats a deadline exit 3
+        (bench_wavenet, 0),             # primary: always run
+        (bench_tacotron, 45),           # skip extras when the budget is
+        (bench_train_steps, 60),        # nearly spent — a partial success
+        (bench_wavenet_aggregate, 45),  # beats a deadline exit 3
+        (bench_wavenet_quantized, 45),
     ]
     skipped = []
     for fn, min_needed in suites:

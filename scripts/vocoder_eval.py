@@ -39,6 +39,16 @@ def main():
     p.add_argument("--wavenet", required=True, help="wavenet run dir")
     p.add_argument("--data", required=True, help="preprocessed npz dir")
     p.add_argument("--n", type=int, default=10)
+    p.add_argument("--unseen_data", type=lambda s: s.split(","), default=None,
+                   help="extra npz dir(s) the vocoder NEVER trained on (e.g. "
+                        "a different speaker's corpus): clips from here are "
+                        "scored identically and counted as heldout — an "
+                        "honest way to widen the never-trained sample when "
+                        "the run's own split held out few clips (the model "
+                        "is mel-conditioned only, so cross-speaker vocoding "
+                        "is well-defined)")
+    p.add_argument("--n_unseen", type=int, default=8,
+                   help="clips to score per --unseen_data dir")
     p.add_argument("--max_frames", type=int, default=240,
                    help="cap mel length per utterance (3 s default)")
     p.add_argument("--out_dir", default=None)
@@ -70,6 +80,15 @@ def main():
     # meaningful secondary sample; the heldout subset is reported separately).
     paths, held = select_eval_paths(
         all_paths, args.n, max(1, cfg.train.num_test_per_speaker))
+    # Never-trained clips from OTHER corpora (unseen speaker): full heldout
+    # status — the training data_dir never contained them.
+    unseen = set()
+    for d in (args.unseen_data or []):
+        dpaths = sorted(glob.glob(os.path.join(d, "*.npz")))
+        pick = dpaths[:: max(1, len(dpaths) // args.n_unseen)][:args.n_unseen]
+        unseen.update(pick)
+        paths = paths + pick
+    held = held | unseen
 
     pad_val = (-cfg.audio.max_abs_value if cfg.audio.symmetric_mels else 0.0)
     wn_scores, gl_scores, rtfs = [], [], []
@@ -107,22 +126,35 @@ def main():
                          cfg.audio.sample_rate)
 
     held_idx = [i for i, p_ in enumerate(paths) if p_ in held]
+    same_idx = [i for i in held_idx if paths[i] not in unseen]
+    unseen_idx = [i for i in held_idx if paths[i] in unseen]
     result = {
         "metric": "vocoder_mcd_db",
         "n_utterances": len(paths),
         "wavenet_mcd_db": round(float(np.mean(wn_scores)), 2),
         "gl_oracle_mcd_db": round(float(np.mean(gl_scores)), 2),
-        # never-trained-on clips only (the loader's heldout split)
+        # never-trained-on clips only: the loader's heldout split plus any
+        # --unseen_data clips (other corpora the run never saw)
         "heldout_wavenet_mcd_db": (
             round(float(np.mean([wn_scores[i] for i in held_idx])), 2)
             if held_idx else None),
         "n_heldout": len(held_idx),
+        "heldout_same_speaker_mcd_db": (
+            round(float(np.mean([wn_scores[i] for i in same_idx])), 2)
+            if same_idx else None),
+        "unseen_speaker_mcd_db": (
+            round(float(np.mean([wn_scores[i] for i in unseen_idx])), 2)
+            if unseen_idx else None),
+        "unseen_speaker_gl_oracle_mcd_db": (
+            round(float(np.mean([gl_scores[i] for i in unseen_idx])), 2)
+            if unseen_idx else None),
         "checkpoint_step": gen.step,
         # median: the first call pays the (cached-thereafter) compile
         "gen_realtime_factor": round(float(np.median(rtfs)), 2),
         "per_utt": [
             {"utt": os.path.splitext(os.path.basename(p_))[0],
              "heldout": p_ in held,
+             **({"unseen_speaker": True} if p_ in unseen else {}),
              "wavenet_mcd_db": round(wn_scores[i], 2),
              "gl_mcd_db": round(gl_scores[i], 2)}
             for i, p_ in enumerate(paths)],

@@ -179,7 +179,15 @@ def train(args):
     # any text whose encode->decode round-trip drops symbols is logged.
     check_text_roundtrip(args.data_paths, cfg.tacotron.cleaners)
 
-    task = TacotronTask(cfg, is_randomly_initialized=not args.initialize_path)
+    # Vocab size follows the cleaner-selected symbol table (Korean 80,
+    # English 65) — the Synthesizer builds from codec.vocab_size, so the
+    # trainer must too or English checkpoints would restore into a
+    # mismatched embedding (reference keeps one mutable global table,
+    # text/symbols.py:14-16).
+    from tacotron_wavenet_vocoder_korean_tpu.text import TextCodec
+    vocab_size = TextCodec(cfg.tacotron.cleaners).vocab_size
+    task = TacotronTask(cfg, vocab_size=vocab_size,
+                        is_randomly_initialized=not args.initialize_path)
     rng = jax.random.PRNGKey(cfg.train.random_seed)
 
     first_batch = next(iter(train_batcher))
