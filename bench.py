@@ -76,28 +76,28 @@ def _emit(error: str | None = None):
     print(json.dumps(out), flush=True)
 
 
-def _aot(jit_fn, *args):
-    """Lower + compile ONCE (AOT) and return (compiled, flops_or_None).
+def _trace_flops(fn, *args) -> float | None:
+    """Matmul/conv FLOPs of ``fn(*args)`` counted from the jaxpr — host-only
+    tracing, no compile, no device.
 
-    The single biggest cold-cache budget sink in rounds 3-4 was compiling
-    every program TWICE: once on the first jit dispatch and once more in
-    the old ``_xla_flops`` helper (``.lower().compile()`` does not share
-    the jit executable cache).  Compiling ahead-of-time makes the
-    cost-analysis free and halves per-suite compile cost — with the
-    persistent cache disabled on axon (it wedges the backend, see
-    utils/misc.py), that's the difference between fitting the 600 s budget
-    and skipping suites (BENCH_r04 skipped 3 of 4)."""
-    compiled = jit_fn.lower(*args).compile()
-    flops = None
+    Rounds 3-4 lost their budget to compiling every program TWICE: the old
+    ``_xla_flops`` helper's ``.lower().compile()`` does not share the jit
+    executable cache, and with the persistent cache disabled on axon each
+    extra compile costs minutes.  The AOT alternative (compile once, execute
+    the AOT executable) WEDGES the axon backend — measured round 5:
+    lower+compile returned in 9 s, the first result fetch never completed,
+    the same pathology as the persistent-cache wedge (utils/misc.py).  So
+    execution stays on the plain jit path (proven on this backend) and
+    FLOPs come from the trace: exact for dot_general, ~XLA for convs, and
+    it multiplies scan bodies by trip count, which XLA's cost model gets
+    WRONG (it counts scan bodies once — our models are scan-heavy, so the
+    old numbers were undercounts)."""
     try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        flops = f if f > 0 else None
+        from tacotron_wavenet_vocoder_korean_tpu.utils.flops import fn_flops
+        f = fn_flops(fn, *args)
+        return f if f > 0 else None
     except Exception:
-        pass
-    return compiled, flops
+        return None
 
 
 def _analytic_matmul_flops(params) -> float:
@@ -121,7 +121,14 @@ def _wavenet_gen_setup(w, audio_cfg, n_frames, batch):
     rng = jax.random.PRNGKey(0)
     audio = jnp.zeros((1, n_frames * hop, 1), jnp.float32)
     mel = jax.random.normal(rng, (batch, n_frames, audio_cfg.num_mels))
-    params = WaveNet(w).init(rng, audio, mel[:1])["params"]
+    # jit the init: EAGER flax init dispatches one tunnel RPC per op
+    # (minutes for a full model — the r05 budget killer, not the compiles)
+    t0 = time.monotonic()
+    params = jax.jit(
+        lambda r, a, m: WaveNet(w).init(r, a, m)["params"])(
+            rng, audio, mel[:1])
+    _sync(params["layer_0_skip_kernel"])
+    _publish(**{f"init_b{batch}_s": round(time.monotonic() - t0, 1)})
     use_pallas = jax.default_backend() != "cpu"
 
     @jax.jit
@@ -160,25 +167,21 @@ def bench_wavenet(n_frames: int = None, repeats: int = 2) -> dict:
         cfg.wavenet, cfg.audio, n_frames, batch=1)
 
     t0 = time.monotonic()
-    gen_c, flops_total = _aot(gen, params, mel, rng)
+    out = gen(params, mel, rng)      # first jit dispatch: the one compile
+    _sync(out)
     _publish(wavenet_compile_s=round(time.monotonic() - t0, 1))
     _await_campaign_quiesce()   # overlapped with the compile above
-    out = gen_c(params, mel, rng)
-    _sync(out)                  # settle
     n_samples = out.shape[1]
 
-    best = _time_best(lambda: gen_c(params, mel, rng), repeats)
+    best = _time_best(lambda: gen(params, mel, rng), repeats)
     sps = n_samples / best
 
-    # Utilization (VERDICT r2 #6): XLA cost-model FLOPs when available,
-    # analytic 2*weights/sample otherwise.  AR generation is dependency-
-    # latency bound, so this is expected to be ~0.1% of peak — the field
-    # exists so the RTF claim is auditable, not to flatter it.
-    analytic = _analytic_matmul_flops(params) * n_samples
-    if flops_total is None or flops_total < 0.1 * analytic:
-        # XLA's cost model undercounts bodies of lax.scan/pallas_call;
-        # fall back to the analytic per-sample weight-reuse count.
-        flops_total = analytic
+    # Utilization (VERDICT r2 #6): analytic 2*weights/sample (the jaxpr
+    # counter can't see inside the pallas kernel body's grid).  AR
+    # generation is dependency-latency bound, so this is expected to be
+    # ~0.1% of peak — the field exists so the RTF claim is auditable, not
+    # to flatter it.
+    flops_total = _analytic_matmul_flops(params) * n_samples
     tflops_per_sec = flops_total / best / 1e12
     _publish(
         value=round(sps, 1),
@@ -206,11 +209,10 @@ def bench_wavenet_aggregate(n_frames: int = None, repeats: int = 2) -> dict:
     gen, params, mel8, rng = _wavenet_gen_setup(
         cfg.wavenet, cfg.audio, n_frames, batch=8)
     t0 = time.monotonic()
-    gen_c, _ = _aot(gen, params, mel8, rng)
-    _publish(wavenet_agg8_compile_s=round(time.monotonic() - t0, 1))
-    out8 = gen_c(params, mel8, rng)
+    out8 = gen(params, mel8, rng)
     _sync(out8)
-    best8 = _time_best(lambda: gen_c(params, mel8, rng), repeats)
+    _publish(wavenet_agg8_compile_s=round(time.monotonic() - t0, 1))
+    best8 = _time_best(lambda: gen(params, mel8, rng), repeats)
     agg_sps = out8.shape[0] * out8.shape[1] / best8
     _publish(wavenet_aggregate_samples_per_sec_8stream=round(agg_sps, 1))
     return {"aggregate_samples_per_sec": agg_sps}
@@ -222,22 +224,29 @@ def bench_tacotron(repeats: int = 2) -> dict:
     from tacotron_wavenet_vocoder_korean_tpu.models.tacotron import Tacotron
 
     cfg = Config()
-    # fast-inference knobs: fused GRU kernels + unrolled decoder scan
-    # (outputs identical to the defaults; checkpoints convert exactly via
-    # models.modules.fuse_gru_params / Synthesizer.load(fused_rnn=True))
-    taco_cfg = dataclasses.replace(cfg.tacotron, fused_rnn=True,
-                                   scan_unroll=8)
+    # fast-inference knobs: fused GRU kernels (outputs identical to the
+    # defaults; checkpoints convert exactly via models.modules.fuse_gru_params
+    # / Synthesizer.load(fused_rnn=True)).  scan_unroll stays 1: measured
+    # round 5 on the real chip, unroll=1 scores RTF 0.00226 vs r01's
+    # unroll=8 0.00235 — the free-run decode is dispatch-latency bound, the
+    # unroll only bloats the HLO and the cold compile.
+    taco_cfg = dataclasses.replace(cfg.tacotron, fused_rnn=True)
     model = Tacotron(cfg=taco_cfg, audio=cfg.audio)
     B, T_in, max_iters = 1, 96, (20 if _SMOKE else 200)
     rng = jax.random.PRNGKey(0)
     inputs = jnp.ones((B, T_in), jnp.int32)
     lengths = jnp.full((B,), T_in, jnp.int32)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, inputs, lengths,
+    # jit the init (eager init = one tunnel RPC per op; see bench_wavenet)
+    t0 = time.monotonic()
+    variables = jax.jit(lambda r, i, l: model.init(
+        {"params": r, "dropout": r}, i, l,
         speaker_id=jnp.zeros((B,), jnp.int32),
-        mel_targets=jnp.zeros((B, 5 * 4, 80)), train=True)
+        mel_targets=jnp.zeros((B, 5 * 4, 80)), train=True))(
+            rng, inputs, lengths)
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
+    _sync(variables["params"]["memory_layer"]["kernel"])
+    _publish(tacotron_init_s=round(time.monotonic() - t0, 1))
 
     @jax.jit
     def decode(variables, inputs, lengths):
@@ -247,13 +256,12 @@ def bench_tacotron(repeats: int = 2) -> dict:
         return out["mel_outputs"]
 
     t0 = time.monotonic()
-    decode_c, _ = _aot(decode, variables, inputs, lengths)
-    _publish(tacotron_compile_s=round(time.monotonic() - t0, 1))
-    out = decode_c(variables, inputs, lengths)
+    out = decode(variables, inputs, lengths)
     _sync(out)
+    _publish(tacotron_compile_s=round(time.monotonic() - t0, 1))
     n_frames = out.shape[1]
 
-    best = _time_best(lambda: decode_c(variables, inputs, lengths), repeats)
+    best = _time_best(lambda: decode(variables, inputs, lengths), repeats)
 
     frame_shift_s = cfg.audio.hop_size / cfg.audio.sample_rate
     audio_seconds = n_frames * frame_shift_s
@@ -280,11 +288,10 @@ def bench_wavenet_quantized(n_frames: int = None,
     gen, params, mel, rng = _wavenet_gen_setup(w, cfg.audio, n_frames,
                                                batch=1)
     t0 = time.monotonic()
-    gen_c, _ = _aot(gen, params, mel, rng)
-    _publish(wavenet_quantized_compile_s=round(time.monotonic() - t0, 1))
-    out = gen_c(params, mel, rng)
+    out = gen(params, mel, rng)
     _sync(out)
-    best = _time_best(lambda: gen_c(params, mel, rng), repeats)
+    _publish(wavenet_quantized_compile_s=round(time.monotonic() - t0, 1))
+    best = _time_best(lambda: gen(params, mel, rng), repeats)
     sps = out.shape[1] / best
     _publish(wavenet_quantized_samples_per_sec=round(sps, 1),
              wavenet_quantized_realtime_factor=round(
@@ -322,22 +329,31 @@ def bench_train_steps(repeats: int = 3) -> dict:
         mel_targets=(rng.randn(B, T_out, 80) * 0.1).astype(np.float32),
         linear_targets=(rng.randn(B, T_out, 1025) * 0.1).astype(np.float32),
         speaker_id=np.zeros((B,), np.int32))
+    # campaign knobs minus scan_unroll (unroll=8 inlines 8 step copies and
+    # multiplies compile time; see bench_tacotron — the campaign itself
+    # amortizes that compile over hours, a 600 s bench cannot)
     cfg = Config(tacotron=dataclasses.replace(
         Config().tacotron, initial_phase_step=0, compute_dtype="bfloat16",
-        fused_rnn=True, scan_unroll=8))
+        fused_rnn=True))
     task = TacotronTask(cfg, is_randomly_initialized=True)
-    state = task.init_state(key, batch)
-    step = task.jit_train_step()
     d = batch_to_dict(batch)
+    # jit the init (eager init = one tunnel RPC per op; see bench_wavenet)
     t0 = time.monotonic()
-    step_c, taco_flops = _aot(step, state, d, key)
-    _publish(tacotron_train_compile_s=round(time.monotonic() - t0, 1))
-    state, metrics = step_c(state, d, key)
+    state = jax.jit(task.init_state)(key, d)
+    sync(None, {"loss": state.step})
+    _publish(tacotron_train_init_s=round(time.monotonic() - t0, 1))
+    step = task.jit_train_step()
+    # FLOPs from the trace (host-only; see _trace_flops) BEFORE the first
+    # dispatch so a deadline mid-compile still can't waste it
+    taco_flops = _trace_flops(task.train_step, state, d, key)
+    t0 = time.monotonic()
+    state, metrics = step(state, d, key)
     sync(state, metrics)
+    _publish(tacotron_train_compile_s=round(time.monotonic() - t0, 1))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, metrics = step_c(state, d, key)
+        state, metrics = step(state, d, key)
         sync(state, metrics)
         times.append(time.perf_counter() - t0)
     taco_sec = float(np.median(times))
@@ -364,18 +380,21 @@ def bench_train_steps(repeats: int = 3) -> dict:
             Bw, sample_size // hop, cfg.audio.num_mels).astype(np.float32),
         speaker_id=np.zeros((Bw,), np.int32))
     wtask = WaveNetTask(cfg)
-    wstate = wtask.init_state(key, wbatch)
-    wstep = wtask.jit_train_step()
     wd = wavenet_batch_to_dict(wbatch)
     t0 = time.monotonic()
-    wstep_c, wn_flops = _aot(wstep, wstate, wd)
-    _publish(wavenet_train_compile_s=round(time.monotonic() - t0, 1))
-    wstate, wmetrics = wstep_c(wstate, wd)
+    wstate = jax.jit(wtask.init_state)(key, wd)
+    sync(None, {"loss": wstate.step})
+    _publish(wavenet_train_init_s=round(time.monotonic() - t0, 1))
+    wstep = wtask.jit_train_step()
+    wn_flops = _trace_flops(wtask.train_step, wstate, wd)
+    t0 = time.monotonic()
+    wstate, wmetrics = wstep(wstate, wd)
     sync(wstate, wmetrics)
+    _publish(wavenet_train_compile_s=round(time.monotonic() - t0, 1))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        wstate, wmetrics = wstep_c(wstate, wd)
+        wstate, wmetrics = wstep(wstate, wd)
         sync(wstate, wmetrics)
         times.append(time.perf_counter() - t0)
     wn_sec = float(np.median(times))

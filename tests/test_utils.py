@@ -601,3 +601,73 @@ def test_vocoder_eval_selection_includes_heldout():
     paths, held = corpus_small = mod.select_eval_paths(
         [f"{i}.npz" for i in range(3)], n=10, n_test=2)
     assert held == set() and len(paths) == 3
+
+
+def test_jaxpr_flops_counts_dots_convs_and_scan_trips():
+    """utils/flops.py: exact 2*M*N*K for dot_general, conv formula within
+    ~15% of XLA's cost model, and scan bodies MULTIPLIED by trip count
+    (XLA's cost model counts scan bodies once — wrong for our scan-heavy
+    models; this counter feeds the bench's MFU fields with no compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron_wavenet_vocoder_korean_tpu.utils.flops import fn_flops
+
+    a, b = jnp.ones((64, 128)), jnp.ones((128, 32))
+    assert fn_flops(lambda a, b: jnp.dot(a, b), a, b) == 2 * 64 * 128 * 32
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+    x, k = jnp.ones((2, 100, 16)), jnp.ones((5, 16, 32))
+    got = fn_flops(conv, x, k)
+    want = 2 * 2 * 96 * 32 * 5 * 16      # 2*|out|*K_spatial*C_in
+    assert got == want
+
+    def scanned(c, xs):
+        return jax.lax.scan(lambda c, x: (jnp.dot(c, x), ()), c, xs)[0]
+    c0, xs = jnp.ones((8, 8)), jnp.ones((10, 8, 8))
+    assert fn_flops(scanned, c0, xs) == 10 * 2 * 8 * 8 * 8
+
+    # grad traces the backward too: d(xW)/dW and d/dx add 2 more matmuls
+    def loss(w, x):
+        return jnp.sum(jnp.dot(x, w) ** 2)
+    w, x = jnp.ones((16, 8)), jnp.ones((4, 16))
+    fwd = fn_flops(loss, w, x)
+    both = fn_flops(jax.grad(loss, argnums=(0, 1)), w, x)
+    assert both == 3 * fwd               # fwd + d/dw + d/dx matmuls
+
+
+def test_jaxpr_flops_train_step_magnitude():
+    """The counter runs on the REAL tacotron train step (scan + CBHG convs +
+    grad) and lands in a sane range: at least the 3x-forward matmul floor
+    implied by the parameter count, well under an absurd bound."""
+    import jax
+    import numpy as np
+
+    from tacotron_wavenet_vocoder_korean_tpu.config import Config
+    from tacotron_wavenet_vocoder_korean_tpu.data.loader import TacotronBatch
+    from tacotron_wavenet_vocoder_korean_tpu.train.tacotron_task import (
+        TacotronTask, batch_to_dict)
+    from tacotron_wavenet_vocoder_korean_tpu.utils.flops import fn_flops
+    from tests.test_tacotron import tiny_cfg
+
+    cfg = Config(tacotron=tiny_cfg(initial_phase_step=0))
+    task = TacotronTask(cfg, is_randomly_initialized=True)
+    rng = np.random.RandomState(0)
+    B, T_in, T_out = 2, 16, 20
+    batch = TacotronBatch(
+        inputs=rng.randint(2, 70, size=(B, T_in)).astype(np.int32),
+        input_lengths=np.full((B,), T_in, np.int32),
+        loss_coeff=np.ones((B,), np.float32),
+        mel_targets=rng.randn(B, T_out, 80).astype(np.float32),
+        linear_targets=rng.randn(B, T_out, 1025).astype(np.float32),
+        speaker_id=np.zeros((B,), np.int32))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    flops = fn_flops(task.train_step, state, batch_to_dict(batch),
+                     jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    # fwd+bwd >= ~3 * 2*P per example applied at least once
+    assert flops > 3 * 2 * n_params
+    assert flops < 1e13                   # tiny model, tiny batch
