@@ -569,7 +569,12 @@ def test_bench_stops_live_campaigns(tmp_path):
     t = threading.Thread(target=fake_trainer, daemon=True)
     t.start()
     t0 = _time.time()
-    bench._stop_live_campaigns(timeout_s=45, root=str(tmp_path), force=True)
+    # Split API (VERDICT r4 weak #6): STOP files land immediately, the
+    # bounded quiesce wait is a separate call the first suite overlaps
+    # with its first compile.
+    bench._stop_live_campaigns(root=str(tmp_path), force=True)
+    assert (live / "STOP").exists()           # non-blocking: STOP is instant
+    bench._await_campaign_quiesce(timeout_s=45)
     t.join(timeout=10)
     assert (live / "STOP").exists()
     assert not (stale / "STOP").exists()      # quiet runs left alone
