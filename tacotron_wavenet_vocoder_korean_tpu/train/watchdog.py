@@ -209,16 +209,31 @@ class SlowdownWatchdog:
     steps inject into individual samples, which would false-trigger a mean.
     The first ``min_samples`` samples are ignored (first-jit compiles
     pollute process start).  ``ratio <= 1`` disables.
+
+    A degraded median alone is NOT sufficient: Tacotron's sec/step varies
+    legitimately with the shape-bucket mix, and the data curriculum
+    (initial_phase_step) shifts that mix mid-run — a both_r2_ss campaign
+    was spuriously exec-restarted at step 2800 (median 20 ms vs a
+    short-bucket best of 13 ms), paying minutes of bucket recompiles (no
+    persistent compile cache on axon).  The leak this watchdog exists for
+    always grows host RSS alongside the slowdown (~GBs/hour), so a restart
+    additionally requires RSS to have grown by ``rss_growth_gb`` since the
+    best median was recorded; workload-mix variance leaves RSS flat.
     """
 
     def __init__(self, ratio: float, window: int = 30,
-                 min_samples: int = 50):
+                 min_samples: int = 50, rss_growth_gb: float = 2.0,
+                 rss_fn=host_rss_gb):
         self.ratio = ratio
         self.min_samples = min_samples
+        self.rss_growth_gb = rss_growth_gb
+        self._rss_fn = rss_fn
         self._samples: deque = deque(maxlen=window)
         self._seen = 0
         self.best_median: float = float("inf")
+        self.rss_at_best: float = float("nan")
         self.last_median: float = float("nan")
+        self.last_rss_growth: float = float("nan")
 
     def update(self, sec_per_step: float) -> bool:
         """Record one sample; True when a restart is warranted."""
@@ -233,10 +248,15 @@ class SlowdownWatchdog:
         self.last_median = med
         if med < self.best_median:
             self.best_median = med
+            self.rss_at_best = self._rss_fn()
             return False
-        return med > self.best_median * self.ratio
+        if med <= self.best_median * self.ratio:
+            return False
+        self.last_rss_growth = self._rss_fn() - self.rss_at_best
+        return self.last_rss_growth >= self.rss_growth_gb
 
     def reason(self) -> str:
         return (f"Median step time {self.last_median * 1e3:.0f} ms > "
                 f"{self.ratio:.2f}x best {self.best_median * 1e3:.0f} ms "
+                f"with host RSS +{self.last_rss_growth:.1f} GB since best "
                 f"(leak-driven slowdown)")

@@ -173,7 +173,11 @@ def test_slowdown_watchdog_fires_on_sustained_degradation():
     leak-driven slowdown but not during warmup."""
     from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
         SlowdownWatchdog)
-    dog = SlowdownWatchdog(ratio=1.25, window=30, min_samples=50)
+    # The leak grows host RSS alongside the slowdown; model that with a
+    # monotonically growing rss_fn (one tick per call).
+    rss = iter(range(10000))
+    dog = SlowdownWatchdog(ratio=1.25, window=30, min_samples=50,
+                           rss_growth_gb=2.0, rss_fn=lambda: next(rss))
     # warmup: huge compile-polluted samples must never fire
     for _ in range(49):
         assert not dog.update(5.0)
@@ -189,6 +193,22 @@ def test_slowdown_watchdog_fires_on_sustained_degradation():
             break
     assert fired
     assert "best 120 ms" in dog.reason()
+
+
+def test_slowdown_watchdog_requires_rss_corroboration():
+    """Regression (both_r2_ss step-2800 incident): Tacotron's sec/step
+    legitimately varies with the shape-bucket mix and the data curriculum,
+    so a degraded median with FLAT host RSS (no leak) must NOT restart —
+    each spurious exec-restart pays minutes of bucket recompiles on axon."""
+    from tacotron_wavenet_vocoder_korean_tpu.train.watchdog import (
+        SlowdownWatchdog)
+    dog = SlowdownWatchdog(ratio=1.25, window=30, min_samples=50,
+                           rss_growth_gb=2.0, rss_fn=lambda: 30.0)
+    for _ in range(80):
+        assert not dog.update(0.013)   # short-bucket best median
+    # curriculum shift to longer buckets: 1.5x the best, RSS flat
+    for i in range(200):
+        assert not dog.update(0.020), f"false positive at sample {i}"
 
 
 def test_slowdown_watchdog_ignores_isolated_spikes_and_disables():
